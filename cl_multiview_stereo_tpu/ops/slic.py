@@ -1,0 +1,222 @@
+"""SLIC superpixel segmentation — vectorized jnp implementation.
+
+Behavioral spec: the live SLIC path of the reference
+(``clMVDE/clSLIC.cpp:67-122`` sequencing kernels from ``clMVDE/clcode.cl``):
+
+  init_cluster_centers (clcode.cl:259-294)
+  find_center_association (clcode.cl:447-520)          # gSLICr 4-candidate
+  repeat no_iter times:
+      update_cluster_center + finalize_reduction_result (clcode.cl:533-773)
+      find_center_association
+  [optional] supress_local_lable x2 ping-pong (clcode.cl:676-711)
+
+TPU-first design deltas (SURVEY.md section 7.1):
+  * one view = one vmap lane; all views segment in a single jitted call
+    instead of the reference's host loop (pipeline.cpp:76-95);
+  * the workgroup-local tree reduction of the update stage (clcode.cl:582-597)
+    becomes a dense ``segment_sum`` over per-view labels — identical math,
+    association-order-free because the summands are averages;
+  * everything is shape-static: labels are per-view flat indices
+    ``row*Mw + col`` in int32, superpixel state is a SoA pytree.
+
+Quirks preserved for parity (see testing/mirror.py):
+  * candidate-window parity swap: the x-derived half-cell parity offsets the
+    *y* cluster coordinate and vice versa (clcode.cl:461-479);
+  * ties resolve to the first candidate in the reference's loop order;
+  * clusters that lose all members in an update round get center/color/count
+    zeroed, not held (clcode.cl:731-771);
+  * the update only counts members inside the cluster's 3S x 3S search
+    window (clcode.cl:558-566).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from cl_multiview_stereo_tpu.config import DerivedGeometry, SlicParams
+
+
+class SuperpixelMap(NamedTuple):
+    """SoA replacement for the reference's ``float8 spixl_map`` record
+    (clcode.cl:285-293): s0=id (implicit here: ``row*Mw+col``), s12=center,
+    s345=Lab color, s6=count, s7=disparity.
+
+    All arrays are leading-``(V, Mh, Mw)``.
+    """
+
+    center: jax.Array  # (V, Mh, Mw, 2) float32, (x, y)
+    color: jax.Array  # (V, Mh, Mw, 3) float32 Lab
+    count: jax.Array  # (V, Mh, Mw) float32
+    disp: jax.Array  # (V, Mh, Mw) float32
+
+
+def init_cluster_centers(lab: jax.Array, geom: DerivedGeometry) -> SuperpixelMap:
+    """Seed centers on the regular grid (clcode.cl:259-294).
+
+    ``lab``: (V, H, W, 3).
+    """
+    v, h, w = lab.shape[:3]
+    s = geom.spixl_size
+    col = jnp.arange(geom.map_w, dtype=jnp.int32)
+    row = jnp.arange(geom.map_h, dtype=jnp.int32)
+    cx = col * s + s // 2
+    cy = row * s + s // 2
+    # Border pull-in with the reference's `>` comparison (clcode.cl:273-277).
+    cx = jnp.where(cx > w, (col * s + w) // 2, cx)
+    cy = jnp.where(cy > h, (row * s + h) // 2, cy)
+    cxg, cyg = jnp.meshgrid(cx, cy, indexing="xy")  # (Mh, Mw)
+    center = jnp.stack([cxg, cyg], axis=-1).astype(jnp.float32)
+    sample_y = jnp.clip(cyg, 0, h - 1)
+    sample_x = jnp.clip(cxg, 0, w - 1)
+    color = lab[:, sample_y, sample_x, :]  # (V, Mh, Mw, 3)
+    center = jnp.broadcast_to(center[None], (v, geom.map_h, geom.map_w, 2))
+    count = jnp.zeros((v, geom.map_h, geom.map_w), jnp.float32)
+    disp = jnp.zeros((v, geom.map_h, geom.map_w), jnp.float32)
+    return SuperpixelMap(center=center, color=color, count=count, disp=disp)
+
+
+def find_center_association(
+    lab: jax.Array, spmap: SuperpixelMap, geom: DerivedGeometry, p: SlicParams
+) -> jax.Array:
+    """Assignment step (clcode.cl:447-520): each pixel picks the nearest of 4
+    candidate clusters chosen by half-cell parity.  Returns (V, H, W) int32
+    per-view labels.
+    """
+    v, h, w = lab.shape[:3]
+    s = geom.spixl_size
+    mw, mh = geom.map_w, geom.map_h
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cx = col // s
+    cy = row // s
+    dx = (col + s // 2) // s - cx
+    dy = (row + s // 2) // s - cy
+
+    best = jnp.full((v, h, w), jnp.inf, jnp.float32)
+    best_id = jnp.full((v, h, w), -1, jnp.int32)
+
+    # Loop order of clcode.cl:475-479: i in {dx-1, dx} offsets y, j in
+    # {dy-1, dy} offsets x; first strict minimum wins.
+    for i_off in (-1, 0):
+        for j_off in (-1, 0):
+            qy = cy + dx + i_off  # parity swap quirk preserved
+            qx = cx + dy + j_off
+            valid = (qx >= 0) & (qy >= 0) & (qx < mw) & (qy < mh)
+            qxc = jnp.clip(qx, 0, mw - 1)
+            qyc = jnp.clip(qy, 0, mh - 1)
+            c_center = spmap.center[:, qyc, qxc, :]  # (V, H, W, 2)
+            c_color = spmap.color[:, qyc, qxc, :]  # (V, H, W, 3)
+            color_d = jnp.sum((lab - c_color) ** 2, axis=-1)
+            space_d = (
+                (col.astype(jnp.float32) - c_center[..., 0]) ** 2
+                + (row.astype(jnp.float32) - c_center[..., 1]) ** 2
+            )
+            dist = jnp.sqrt(
+                color_d * p.max_color_dist
+                + p.color_weight * space_d * p.max_xy_dist
+            )
+            dist = jnp.where(valid[None], dist, jnp.inf)
+            take = dist < best
+            best = jnp.where(take, dist, best)
+            best_id = jnp.where(take, qyc * mw + qxc, best_id)
+    return best_id
+
+
+def update_cluster_centers(
+    lab: jax.Array, labels: jax.Array, spmap: SuperpixelMap, geom: DerivedGeometry
+) -> SuperpixelMap:
+    """Cluster stats update (clcode.cl:533-773) as a per-view segment sum.
+
+    Members outside their cluster's 3S x 3S search window are dropped, and
+    empty clusters are zeroed — both for parity with the device reduction.
+    Disparity is carried through untouched (finalize writes s0..s6 only).
+    """
+    v, h, w = lab.shape[:3]
+    s = geom.spixl_size
+    mw, mh = geom.map_w, geom.map_h
+    n_seg = mw * mh
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    gx = labels % mw
+    gy = labels // mw
+    in_win = (
+        (col[None] >= gx * s - s)
+        & (col[None] < gx * s + 2 * s)
+        & (row[None] >= gy * s - s)
+        & (row[None] < gy * s + 2 * s)
+    )
+    wgt = in_win.astype(jnp.float32)
+
+    data = jnp.concatenate(
+        [
+            lab * wgt[..., None],
+            col.astype(jnp.float32)[None, ..., None] * wgt[..., None],
+            row.astype(jnp.float32)[None, ..., None] * wgt[..., None],
+            wgt[..., None],
+        ],
+        axis=-1,
+    )  # (V, H, W, 6): Lab, x, y, count
+
+    def per_view(lbl, dat):
+        return jax.ops.segment_sum(
+            dat.reshape(-1, 6), lbl.reshape(-1), num_segments=n_seg
+        )
+
+    sums = jax.vmap(per_view)(labels, data)  # (V, n_seg, 6)
+    sums = sums.reshape(v, mh, mw, 6)
+    n = sums[..., 5]
+    nz = n > 0
+    denom = jnp.where(nz, n, 1.0)
+    color = jnp.where(nz[..., None], sums[..., 0:3] / denom[..., None], 0.0)
+    center = jnp.where(nz[..., None], sums[..., 3:5] / denom[..., None], 0.0)
+    count = jnp.where(nz, n, 0.0)
+    return SuperpixelMap(center=center, color=color, count=count, disp=spmap.disp)
+
+
+def suppress_local_labels(labels: jax.Array) -> jax.Array:
+    """Connectivity vote (clcode.cl:676-711): adopt the last-seen (row-major
+    5x5 scan) differing label when >= 16 of 25 neighbors differ.  2-px border
+    passes through.  Applied per view; call twice for the reference's
+    ping-pong (clSLIC.cpp:390-410).
+    """
+    v, h, w = labels.shape
+    diff_count = jnp.zeros((v, h, w), jnp.int32)
+    diff_label = jnp.full((v, h, w), -1, jnp.int32)
+    for j in range(-2, 3):
+        for i in range(-2, 3):
+            nl = jnp.roll(labels, shift=(-j, -i), axis=(1, 2))
+            ne = nl != labels
+            diff_count = diff_count + ne.astype(jnp.int32)
+            diff_label = jnp.where(ne, nl, diff_label)
+    col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)[None]
+    row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)[None]
+    interior = (col > 1) & (row > 1) & (col < w - 2) & (row < h - 2)
+    return jnp.where(interior & (diff_count >= 16), diff_label, labels)
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def segment(
+    lab: jax.Array, geom: DerivedGeometry, p: SlicParams
+) -> tuple[jax.Array, SuperpixelMap]:
+    """Full SLIC sequence for all views at once (clSLIC.cpp:84-104).
+
+    ``lab``: (V, H, W, 3) CIELab images.
+    Returns (labels (V, H, W) int32, SuperpixelMap).
+    """
+    spmap = init_cluster_centers(lab, geom)
+    labels = find_center_association(lab, spmap, geom, p)
+    for _ in range(p.no_iter):
+        spmap = update_cluster_centers(lab, labels, spmap, geom)
+        labels = find_center_association(lab, spmap, geom, p)
+    if p.enforce_connectivity:
+        labels = suppress_local_labels(labels)
+        labels = suppress_local_labels(labels)
+    return labels, spmap
