@@ -1,0 +1,88 @@
+"""Benchmark harness: full-pipeline depth throughput on the real chip.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Headline metric (BASELINE.md): depth-map megapixels per second per chip for
+the flagship pipeline (SLIC + superpixel plane-sweep init + PatchMatch
+refinement + fusion) at the reference workload scale: 9 views, 1080p,
+31 disparity hypotheses, 5 SLIC iters, 5 propagation iters.
+
+``vs_baseline``: the reference repo publishes no numbers (BASELINE.md), so
+the denominator is this repo's own recorded best (bench_baseline.json,
+seeded by the first run) — the ratio tracks round-over-round improvement.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")
+
+
+def main() -> None:
+    from cl_multiview_stereo_tpu.config import SystemSettings
+    from cl_multiview_stereo_tpu.models.mvs_pipeline import MVSPipeline
+    from cl_multiview_stereo_tpu.testing.synthetic import fronto_parallel_scene
+
+    s = SystemSettings()  # reference defaults: 3x3 views, 31 hypotheses
+    h, w = 1080, 1920
+    data_txt = "/root/reference/clMVDE/data.txt"
+    if os.path.exists(data_txt):
+        from cl_multiview_stereo_tpu.io.images import load_image_array
+
+        rgb = load_image_array(data_txt, s.view_num)
+        h, w = rgb.shape[1:3]
+    else:
+        rgb, _ = fronto_parallel_scene(
+            h, w, array_width=3, array_height=3, disp=40.0, bl_ratio=s.bl_ratio
+        )
+
+    pipe = MVSPipeline.create(w, h, s)
+
+    import jax
+
+    def run():
+        art = pipe.run(rgb)
+        return art.disp_full
+
+    # Warmup/compile
+    out = jax.block_until_ready(run())
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run())
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]
+    mp_per_s = (s.view_num * h * w) / dt / 1e6
+
+    baseline = None
+    if os.path.exists(BASELINE_PATH):
+        try:
+            with open(BASELINE_PATH) as f:
+                baseline = json.load(f).get("depth_mp_per_s")
+        except Exception:
+            baseline = None
+    if baseline is None:
+        with open(BASELINE_PATH, "w") as f:
+            json.dump({"depth_mp_per_s": mp_per_s}, f)
+        baseline = mp_per_s
+
+    print(
+        json.dumps(
+            {
+                "metric": "depth_mp_per_s",
+                "value": round(mp_per_s, 3),
+                "unit": "MP/s",
+                "vs_baseline": round(mp_per_s / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,131 @@
+"""The flagship pipeline: the clMVDE-equivalent multi-view depth engine.
+
+Stage sequence (reference: ``pipeline::exe_pipeline`` + the dormant
+``perform_depth_est`` path, ``clMVDE/pipeline.cpp:60-175``):
+
+  RGB -> Lab -> SLIC segmentation -> superpixel extent -> plane-sweep depth
+  init -> flatness -> state init -> PatchMatch propagation x no_prop ->
+  fusion (plane rasterization [+ optional cross-view vote])
+
+TPU-first: unlike the reference, which re-uploads every array at each stage
+boundary (SURVEY.md section 1), all state here stays device-resident; the
+host only touches the input images and the final disparity maps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cl_multiview_stereo_tpu.config import (
+    DerivedGeometry,
+    RefinementSchedule,
+    SlicParams,
+    SystemSettings,
+    build_disp_levels,
+    build_view_subsets,
+)
+from cl_multiview_stereo_tpu.ops import cost_volume, fusion, refine, slic, superpixel
+from cl_multiview_stereo_tpu.ops.color import rgb_to_lab
+
+
+class PipelineArtifacts(NamedTuple):
+    """Every stage output, the framework's equivalent of the reference's
+    ``results/`` PNG tree (kept as arrays; dump via utils.artifacts)."""
+
+    lab: jax.Array  # (V, H, W, 3)
+    labels: jax.Array  # (V, H, W)
+    spmap: slic.SuperpixelMap
+    extent: jax.Array  # (V, Mh, Mw, 8)
+    disp_init: jax.Array  # (V, Mh, Mw)
+    flatness: jax.Array  # (V, Mh, Mw, 2)
+    state: refine.RefineState
+    disp_full: jax.Array  # (V, H, W) fused per-pixel disparity
+
+
+@dataclasses.dataclass(frozen=True)
+class MVSPipeline:
+    """Configured pipeline for a fixed geometry (static shapes)."""
+
+    settings: SystemSettings
+    geom: DerivedGeometry
+    cross_check: bool = False
+
+    @classmethod
+    def create(
+        cls, img_w: int, img_h: int, settings: SystemSettings | None = None, **kw
+    ) -> "MVSPipeline":
+        s = settings or SystemSettings()
+        return cls(settings=s, geom=DerivedGeometry.create(img_w, img_h, s), **kw)
+
+    # ------------------------------------------------------------------
+    def run(self, rgb: jax.Array | np.ndarray) -> PipelineArtifacts:
+        """Full pipeline on a (V, H, W, 3) uint8 RGB camera-array batch."""
+        s = self.settings
+        geom = self.geom
+        sched = RefinementSchedule.create(s)
+        disp_levels = jnp.asarray(build_disp_levels(s))
+        view_subset_np, subset_num_np = build_view_subsets(s)
+        view_subset = jnp.asarray(view_subset_np)
+        subset_num = jnp.asarray(subset_num_np)
+
+        lab = rgb_to_lab(jnp.asarray(rgb))
+        labels, spmap = slic.segment(lab, geom, SlicParams.create(s))
+        extent = superpixel.superpixel_extent(labels, spmap.center, geom)
+        disp_init = cost_volume.initial_depth_estimation(
+            lab,
+            spmap.center,
+            extent,
+            disp_levels,
+            view_subset,
+            subset_num,
+            s.array_width,
+            s.bl_ratio,
+        )
+        flatness = refine.compute_flatness(spmap.color, sched.gamma_eff)
+        ctx = refine.make_context(
+            spmap.center,
+            spmap.color,
+            disp_init,
+            labels,
+            extent,
+            flatness,
+            view_subset,
+            s.array_width,
+        )
+        state = refine.refine(ctx, sched)
+        disp_full = fusion.fuse_views(
+            labels,
+            spmap.center,
+            state.d,
+            state.n,
+            s.array_width,
+            s.bl_ratio,
+            sched.fuse_eff,
+            cross_check=self.cross_check,
+        )
+        return PipelineArtifacts(
+            lab=lab,
+            labels=labels,
+            spmap=spmap,
+            extent=extent,
+            disp_init=disp_init,
+            flatness=flatness,
+            state=state,
+            disp_full=disp_full,
+        )
+
+    def run_from_list(self, list_path: str) -> PipelineArtifacts:
+        from cl_multiview_stereo_tpu.io.images import load_image_array
+
+        rgb = load_image_array(list_path, self.settings.view_num)
+        if rgb.shape[2] != self.geom.img_w or rgb.shape[1] != self.geom.img_h:
+            raise ValueError(
+                f"images are {rgb.shape[2]}x{rgb.shape[1]}, pipeline built for "
+                f"{self.geom.img_w}x{self.geom.img_h}"
+            )
+        return self.run(rgb)

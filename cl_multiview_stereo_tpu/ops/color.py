@@ -15,6 +15,8 @@ float constant ``0.0039216`` the reference uses (not 1/255).
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -40,6 +42,7 @@ def _f_cbrt(t: jax.Array) -> jax.Array:
     )
 
 
+@partial(jax.jit, static_argnames=("srgb_linearize",))
 def rgb_to_lab(rgb: jax.Array, *, srgb_linearize: bool = False) -> jax.Array:
     """Convert RGB (uint8 or float in [0,255]) to CIELab, D65 white.
 

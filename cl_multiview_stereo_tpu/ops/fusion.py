@@ -1,0 +1,166 @@
+"""Fusion: plane rasterization and cross-view consistency filtering.
+
+Behavioral spec (``clMVDE/clcode.cl`` + ``depth_refinement.cpp:1318-1470``):
+  * ``spixl_to_image`` (cl:1906-1931) — rasterize each superpixel's refined
+    plane back to per-pixel disparity: the only fusion stage live in the
+    shipping binary (the ``results/8- Fusion`` images).
+  * ``project_to_reference_inv`` (cl:1995-2034) — occlusion-aware gather
+    warp: for each reference pixel, probe every other view at the
+    disparity-shifted location and keep the *largest* disparity (nearest
+    surface), with the probe using the evolving maximum sequentially over
+    views in index order.
+  * ``remove_view_inconsistency`` (cl:2037-2101) — stability vote: a
+    candidate disparity earns +-1 votes from per-pixel agreement across the
+    warped maps and from cross-view lookups in the unwarped maps; the
+    largest stable disparity wins.
+
+The last two sit in a disabled comment block in the reference
+(depth_refinement.cpp:1374-1453) whose per-view loop ordering would read
+uninitialized planes; here we implement the *intended* pipeline (SURVEY.md
+section 7.2 step 6): warp all views first, then vote.  ``cross_check=False``
+reproduces exactly what the shipping binary produced.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _cl_round(x: jax.Array) -> jax.Array:
+    return jnp.where(x >= 0, jnp.floor(x + 0.5), jnp.ceil(x - 0.5))
+
+
+@jax.jit
+def rasterize_planes(
+    labels: jax.Array,  # (V, H, W) int32
+    centers: jax.Array,  # (V, Mh, Mw, 2)
+    state_d: jax.Array,  # (V, Mh, Mw)
+    state_n: jax.Array,  # (V, Mh, Mw, 3)
+) -> jax.Array:
+    """``spixl_to_image``: per-pixel disparity from the owning superpixel's
+    plane: ``d(p) = (n . (c - p) + nz * d) / nz`` (cl:1928)."""
+    v, h, w = labels.shape
+    mh, mw = centers.shape[1:3]
+    mx = labels % mw
+    my = labels // mw
+    vid = jnp.arange(v, dtype=jnp.int32)[:, None, None]
+    ctr = centers[vid, my, mx]  # (V, H, W, 2)
+    d = state_d[vid, my, mx]
+    n = state_n[vid, my, mx]
+    px = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)[None].astype(jnp.float32)
+    py = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)[None].astype(jnp.float32)
+    return (
+        n[..., 0] * (ctr[..., 0] - px) + n[..., 1] * (ctr[..., 1] - py) + n[..., 2] * d
+    ) / n[..., 2]
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def project_to_reference_inv(
+    disp_full: jax.Array,  # (V, H, W)
+    array_width: int,
+    bl_ratio: float,
+) -> jax.Array:
+    """Occlusion-aware inverse warp for every reference view at once
+    (cl:1995-2034).  The probe chain is sequential over source views in
+    index order, using the evolving maximum — preserved via ``fori_loop``.
+    """
+    v, h, w = disp_full.shape
+    px = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)[None]
+    py = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)[None]
+    ref = jnp.arange(v, dtype=jnp.int32)[:, None, None]
+    cam_ref_x = ref % array_width
+    cam_ref_y = ref // array_width
+
+    def body(i, min_disp):
+        cam_x = i % array_width
+        cam_y = i // array_width
+        xp = (
+            px.astype(jnp.float32)
+            - _cl_round(min_disp * (cam_ref_x - cam_x).astype(jnp.float32))
+        ).astype(jnp.int32)
+        yp = (
+            py.astype(jnp.float32)
+            - _cl_round(bl_ratio * min_disp * (cam_ref_y - cam_y).astype(jnp.float32))
+        ).astype(jnp.int32)
+        inb = (xp >= 0) & (yp >= 0) & (xp < w) & (yp < h)
+        probe = disp_full[i, jnp.clip(yp, 0, h - 1), jnp.clip(xp, 0, w - 1)]
+        better = inb & (min_disp < probe) & (i != ref)
+        return jnp.where(better, probe, min_disp)
+
+    return jax.lax.fori_loop(0, v, body, disp_full)
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def remove_view_inconsistency(
+    disp_proj: jax.Array,  # (V, H, W) warped-to-reference maps
+    disp_full: jax.Array,  # (V, H, W) unwarped per-view maps
+    array_width: int,
+    bl_ratio: float,
+    fuse: float,
+) -> jax.Array:
+    """Stability vote (cl:2037-2101), evaluated for every reference view.
+
+    Vote rules preserved exactly: warped-map agreement votes with
+    ``> fuse -> -1`` / ``<= fuse -> +1`` (cl:2065-2069), cross-view lookup
+    votes with ``> fuse -> -1`` / ``< fuse -> +1`` (cl:2087-2091, equality
+    abstains); the winner is the largest d with ``stability >= 0``.
+    """
+    v, h, w = disp_proj.shape
+    px = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)[None]
+    py = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)[None]
+    ref = jnp.arange(v, dtype=jnp.int32)[:, None, None]
+    cam_ref_x = (ref % array_width).astype(jnp.float32)
+    cam_ref_y = (ref // array_width).astype(jnp.float32)
+
+    def cand_body(i, d_est):
+        d = disp_proj[i][None]  # candidate from view i, broadcast over refs
+        d = jnp.broadcast_to(d, (v, h, w))
+        stability = jnp.zeros((v, h, w), jnp.float32)
+        # vote 1: agreement among warped maps at the same pixel
+        for j in range(v):
+            d_check = disp_proj[j][None]
+            nz = d_check != 0
+            diff = jnp.abs(d_check - d)
+            stability = stability + jnp.where(
+                nz, jnp.where(diff > fuse, -1.0, 1.0), 0.0
+            )
+        # vote 2: cross-view lookups in the unwarped maps
+        for j in range(v):
+            cam_x = float(j % array_width)
+            cam_y = float(j // array_width)
+            xj = (
+                px.astype(jnp.float32) - _cl_round(d * (cam_x - cam_ref_x))
+            ).astype(jnp.int32)
+            yj = (
+                py.astype(jnp.float32)
+                - _cl_round(bl_ratio * d * (cam_y - cam_ref_y))
+            ).astype(jnp.int32)
+            inb = (xj >= 0) & (yj >= 0) & (xj < w) & (yj < h)
+            d_check = disp_full[j, jnp.clip(yj, 0, h - 1), jnp.clip(xj, 0, w - 1)]
+            diff = jnp.abs(d_check - d)
+            vote = jnp.where(diff > fuse, -1.0, 0.0) + jnp.where(diff < fuse, 1.0, 0.0)
+            stability = stability + jnp.where(inb, vote, 0.0)
+        take = (d != 0) & (stability >= 0) & ((d_est == 0) | (d_est < d))
+        return jnp.where(take, d, d_est)
+
+    return jax.lax.fori_loop(
+        0, v, lambda i, a: cand_body(i, a), jnp.zeros((v, h, w), jnp.float32)
+    )
+
+
+def fuse_views(
+    labels, centers, state_d, state_n, array_width: int, bl_ratio: float, fuse: float,
+    *, cross_check: bool = False,
+):
+    """Full fusion stage.  ``cross_check=False`` matches the shipping
+    reference (rasterization only); ``True`` adds the intended warp + vote."""
+    disp_full = rasterize_planes(labels, centers, state_d, state_n)
+    if not cross_check:
+        return disp_full
+    disp_proj = project_to_reference_inv(disp_full, array_width, bl_ratio)
+    return remove_view_inconsistency(
+        disp_proj, disp_full, array_width, bl_ratio, fuse
+    )

@@ -178,6 +178,7 @@ def update_cluster_centers(
     return SuperpixelMap(center=center, color=color, count=count, disp=spmap.disp)
 
 
+@jax.jit
 def suppress_local_labels(labels: jax.Array) -> jax.Array:
     """Connectivity vote (clcode.cl:676-711): adopt the last-seen (row-major
     5x5 scan) differing label when >= 16 of 25 neighbors differ.  2-px border

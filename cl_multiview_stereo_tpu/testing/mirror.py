@@ -24,6 +24,17 @@ import math
 import numpy as np
 
 
+def f32exp(x: float) -> float:
+    """float32 + flush-to-zero exp(): the device computes similarities in
+    float32 and TPUs/XLA flush denormals, so exp(-large) is exactly 0 below
+    the min normal (1.18e-38); the float64 mirror must reproduce that or it
+    keeps tiny weights the device never sees."""
+    if x <= -700:
+        return 0.0
+    v = float(np.float32(math.exp(x)))
+    return v if v >= 1.1754944e-38 else 0.0
+
+
 def c_int(x: float) -> int:
     """C-style (int) cast: truncate toward zero."""
     return int(np.trunc(x))
@@ -313,4 +324,398 @@ def superpixel_extent(
                     px, py = cx + i * dx, cy + i * dy
                     if 0 <= px < w and 0 <= py < h and labels[py, px] == sp_idx:
                         out[my, mx, k] = i - 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Depth init: initial_depth_estimation_v2 (clcode.cl:972-1069)
+# ---------------------------------------------------------------------------
+
+
+def extent_step_scalar(ext8: np.ndarray) -> tuple[float, float]:
+    """Adaptive sample pitch from the extent bbox (clcode.cl:997-1007)."""
+    bb_l = max(ext8[0], ext8[1], ext8[2])
+    bb_r = max(ext8[5], ext8[6], ext8[7])
+    bb_t = max(ext8[0], ext8[3], ext8[5])
+    bb_b = max(ext8[2], ext8[4], ext8[7])
+    return max(1.0, 0.25 * (bb_l + bb_r)), max(1.0, 0.25 * (bb_t + bb_b))
+
+
+def initial_depth_estimation_v2(
+    lab: np.ndarray,          # (V, H, W, 3)
+    centers: np.ndarray,      # (V, Mh, Mw, 2)
+    extent: np.ndarray,       # (V, Mh, Mw, 8)
+    disp_levels: np.ndarray,  # (D,)
+    view_subset: np.ndarray,  # (V, V) -1 padded
+    subset_num: np.ndarray,   # (V,)
+    array_width: int,
+    bl_ratio: float,
+) -> np.ndarray:
+    """Scalar mirror of the live depth-init kernel (clcode.cl:972-1069).
+
+    Returns (V, Mh, Mw) float64 disparity.
+    """
+    v, h, w = lab.shape[:3]
+    map_h, map_w = centers.shape[1:3]
+    out = np.zeros((v, map_h, map_w), dtype=np.float64)
+    for z in range(v):
+        ref_x, ref_y = z % array_width, z // array_width
+        for my in range(map_h):
+            for mx in range(map_w):
+                sx, sy = extent_step_scalar(extent[z, my, mx])
+                cx, cy = centers[z, my, mx]
+                cost_est, disp_est = 1.0e6, 0.0
+                for d in disp_levels:
+                    min_val = 1.0e6
+                    for n in range(subset_num[z]):
+                        view = int(view_subset[z, n])
+                        dvx = view % array_width - ref_x
+                        dvy = view // array_width - ref_y
+                        val = 0.0
+                        for i in range(-2, 3):
+                            for j in range(-2, 3):
+                                xr = c_int(cx + i * sx)
+                                yr = c_int(cy + j * sy)
+                                xp = c_int(xr - d * dvx)
+                                yp = c_int(yr - bl_ratio * d * dvy)
+                                if (
+                                    0 <= xr < w and 0 <= yr < h
+                                    and 0 <= xp < w and 0 <= yp < h
+                                ):
+                                    val += float(
+                                        np.sum(np.abs(lab[z, yr, xr] - lab[view, yp, xp]))
+                                    )
+                                else:
+                                    val += 30.0
+                        if val < min_val:
+                            min_val = val
+                    if min_val < cost_est:
+                        cost_est = min_val
+                        disp_est = float(d)
+                out[z, my, mx] = disp_est
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Refinement: compute_flatness (clcode.cl:1076-1132)
+# ---------------------------------------------------------------------------
+
+
+def compute_flatness(color: np.ndarray, gamma: float) -> np.ndarray:
+    """``color``: (V, Mh, Mw, 3) superpixel colors.  Returns (V, Mh, Mw, 2)."""
+    v, mh, mw = color.shape[:3]
+    out = np.zeros((v, mh, mw, 2), dtype=np.float64)
+    for z in range(v):
+        for y in range(mh):
+            for x in range(mw):
+                c0 = color[z, y, x]
+                fl = 1.0
+                for dx, dy in ((-1, 0), (1, 0), (0, 1), (0, -1)):
+                    x1, y1 = x + dx, y + dy
+                    if 0 <= x1 < mw and 0 <= y1 < mh:
+                        c1 = color[z, y1, x1]
+                        fl += float(np.sum((c1 - c0) ** 2))
+                out[z, y, x, 0] = math.exp(-fl * gamma)
+                out[z, y, x, 1] = 1.0 - math.exp(-0.25 * fl * gamma)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Refinement scoring (clcode.cl:1136-1254, 1407-1525, 1260-1357, 1528-1631)
+# ---------------------------------------------------------------------------
+
+
+def smoothness_scalar(
+    center, color, tgt_d, fl_x, z, y, x, d0, n0, gamma, alpha, steps, step_size
+):
+    """Unified scalar smoothness: ``init_smoothness`` (fronto candidate /
+    initial disparities) and ``compute_smoothness`` (candidate plane vs the
+    state buffer) share this exact math."""
+    mh, mw = center.shape[1:3]
+    cx, cy = center[z, y, x]
+    c0 = color[z, y, x]
+    nx, ny, nz = n0
+    sm = 0.0
+    wn = 0.0
+    for i in (-1, 0, 1):
+        for j in (-1, 0, 1):
+            if i == 0 and j == 0:
+                continue
+            x1, y1 = x + i, y + j
+            if 0 <= x1 < mw and 0 <= y1 < mh:
+                cc = color[z, y1, x1]
+                diff = math.sqrt(float(np.sum((cc - c0) ** 2)))
+                sim = f32exp(-diff * diff * gamma)
+                d_intrp = (
+                    nx * (cx - center[z, y1, x1, 0])
+                    + ny * (cy - center[z, y1, x1, 1])
+                    + nz * d0
+                ) / nz
+                dd = d_intrp - tgt_d[z, y1, x1]
+                sm += sim * f32exp(-dd * dd * alpha)
+                wn += sim
+    step_sz = max(1, c_int(fl_x * step_size + 0.5))
+    for i in range(1, steps + 1):
+        gamma_i = gamma * (1 + i)
+        step = i * step_sz
+        taps = []
+        if x > step:
+            taps.append((x - step - 1, y))
+        if x < mw - step - 1:
+            taps.append((x + step + 1, y))
+        if y > step:
+            taps.append((x, y - step - 1))
+        if y < mh - step - 1:
+            taps.append((x, y + step + 1))
+        for x1, y1 in taps:
+            cc = color[z, y1, x1]
+            diff = math.sqrt(float(np.sum((cc - c0) ** 2)))
+            sim = f32exp(-diff * diff * gamma_i)
+            d_extp = (
+                nx * (cx - center[z, y1, x1, 0])
+                + ny * (cy - center[z, y1, x1, 1])
+                + nz * d0
+            ) / nz
+            dd = d_extp - tgt_d[z, y1, x1]
+            sm += sim * f32exp(-dd * dd * alpha)
+            wn += sim
+    return sm / wn if wn > 0 else 0.000001
+
+
+def consistency_scalar(
+    center, color, tgt_d, tgt_n, labels, samples9, fl_y, view_subset, subset_num,
+    z, y, x, d0, n0, gamma, alpha, fuse, bl_ratio, array_width, img_h, img_w,
+):
+    """Unified scalar consistency (init and candidate-plane forms).
+
+    ``samples9``: (9, 2) int offsets; ``tgt_n`` may be None for the init
+    form (fronto-parallel stored planes -> d_intrp_proj == d_proj).
+    """
+    mh, mw = center.shape[1:3]
+    cx, cy = center[z, y, x]
+    c0 = color[z, y, x]
+    nx, ny, nz = n0
+    cam_x, cam_y = z % array_width, z // array_width
+    consistency = 0.0
+    view_counter = 0
+    for k in range(subset_num[z]):
+        view = int(view_subset[z, k])
+        dvx = view % array_width - cam_x
+        dvy = view // array_width - cam_y
+        visib_sum = occl_sum = num = visibility = visible = 0.0
+        for sidx in range(9):
+            sxp = c_int(cx) + int(samples9[sidx, 0])
+            syp = c_int(cy) + int(samples9[sidx, 1])
+            d_intrp = (nx * (cx - sxp) + ny * (cy - syp) + nz * d0) / nz
+            xp = sxp - c_int(cl_round(d_intrp * dvx))
+            yp = syp - c_int(cl_round(bl_ratio * d_intrp * dvy))
+            if 0 <= xp < img_w and 0 <= yp < img_h:
+                idx_proj = int(labels[view, yp, xp])
+                pmx, pmy = idx_proj % mw, idx_proj // mw
+                d_proj = tgt_d[view, pmy, pmx]
+                if tgt_n is None:
+                    d_intrp_proj = d_proj
+                else:
+                    npx, npy, npz = tgt_n[view, pmy, pmx]
+                    cpx, cpy = center[view, pmy, pmx]
+                    d_intrp_proj = (
+                        npx * (cpx - xp) + npy * (cpy - yp) + npz * d_proj
+                    ) / npz
+                diff = d_intrp_proj - d_intrp
+                wv = 1.0 if abs(diff) < fuse else 0.0
+                visible += wv * f32exp(-diff * diff * alpha)
+                visib_sum += wv
+                occl_sum += 1.0 - wv
+                cp = color[view, pmy, pmx]
+                cd = math.sqrt(float(np.sum((cp - c0) ** 2)))
+                visibility += f32exp(-cd * cd * gamma)
+                num += 1.0
+        if num > 0:
+            view_counter += 1
+            if visib_sum > 0:
+                consistency += (visib_sum / num) * (visibility / visib_sum) * (
+                    visible / visib_sum
+                )
+            if occl_sum > 0:
+                consistency += 0.5 * fl_y
+    if view_counter > 0:
+        return max(0.01, consistency / view_counter)
+    return 0.01
+
+
+def samples9_from_extent(ext8: np.ndarray) -> np.ndarray:
+    """Sample offsets from extent slots (clcode.cl:1271-1305): slot order
+    [s0,s1,s2,s3,0,s4,s5,s6,s7] over (i,j) row-major, offset=(r*i, r*j)."""
+    radii = [ext8[0], ext8[1], ext8[2], ext8[3], 0, ext8[4], ext8[5], ext8[6], ext8[7]]
+    out = np.zeros((9, 2), dtype=np.int64)
+    idx = 0
+    for i in (-1, 0, 1):
+        for j in (-1, 0, 1):
+            out[idx] = (radii[idx] * i, radii[idx] * j)
+            idx += 1
+    return out
+
+
+def init_state(
+    center, color, disp0, labels, extent, fl, view_subset, subset_num,
+    gamma, alpha, fuse, bl_ratio, steps, step_size, array_width, img_h, img_w,
+):
+    """Mirror of ``init_current_state`` (cl:1362-1404): fronto-parallel
+    planes scored with the init forms.  Returns dict d, sm, cs, n."""
+    v, mh, mw = disp0.shape
+    sm = np.zeros((v, mh, mw))
+    cs = np.zeros((v, mh, mw))
+    for z in range(v):
+        for y in range(mh):
+            for x in range(mw):
+                d = disp0[z, y, x]
+                sm[z, y, x] = smoothness_scalar(
+                    center, color, disp0, fl[z, y, x, 0], z, y, x, d,
+                    (0.0, 0.0, 1.0), gamma, alpha, steps, step_size,
+                )
+                cs[z, y, x] = consistency_scalar(
+                    center, color, disp0, None, labels,
+                    samples9_from_extent(extent[z, y, x]), fl[z, y, x, 1],
+                    view_subset, subset_num, z, y, x, d, (0.0, 0.0, 1.0),
+                    gamma, alpha, fuse, bl_ratio, array_width, img_h, img_w,
+                )
+    n = np.zeros((v, mh, mw, 3))
+    n[..., 2] = 1.0
+    return {"d": disp0.astype(np.float64).copy(), "sm": sm, "cs": cs, "n": n}
+
+
+def _cross3(a, b):
+    """Device ``cross_product_test`` (cl:1676-1685)."""
+    return np.array(
+        [
+            a[1] * b[2] - a[2] * b[1],
+            b[0] * a[2] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0],
+        ]
+    )
+
+
+def propagate(
+    center, color, state, labels, extent, fl, view_subset, subset_num,
+    it, gamma, alpha, fuse, bl_ratio, steps, step_size, array_width, img_h, img_w,
+):
+    """Mirror of kernel ``propagate`` (cl:1727-1900): one Jacobi sweep.
+
+    ``state``: dict with d, sm, cs, n read-only (the input buffer).
+    Returns the output-buffer dict.
+    """
+    v, mh, mw = state["d"].shape
+    out = {
+        "d": state["d"].copy(),
+        "sm": state["sm"].copy(),
+        "cs": state["cs"].copy(),
+        "n": state["n"].copy(),
+    }
+    sd, sn = state["d"], state["n"]
+
+    def score(z, y, x, d_cand, n_cand):
+        smv = smoothness_scalar(
+            center, color, sd, fl[z, y, x, 0], z, y, x, d_cand, n_cand,
+            gamma, alpha, steps, step_size,
+        )
+        csv = consistency_scalar(
+            center, color, sd, sn, labels,
+            samples9_from_extent(extent[z, y, x]), fl[z, y, x, 1],
+            view_subset, subset_num, z, y, x, d_cand, n_cand,
+            gamma, alpha, fuse, bl_ratio, array_width, img_h, img_w,
+        )
+        return smv, csv
+
+    ring = ((-1, 0), (-1, -1), (0, -1), (1, -1), (1, 0), (1, 1), (0, 1), (-1, 1))
+    greedy = it < 4
+    for z in range(v):
+        for y in range(mh):
+            for x in range(mw):
+                d0 = float(sd[z, y, x])
+                sm0 = float(state["sm"][z, y, x])
+                cs0 = float(state["cs"][z, y, x])
+                n0 = tuple(float(t) for t in sn[z, y, x])
+                c0 = color[z, y, x]
+                cx, cy = center[z, y, x]
+
+                def try_update(x1, y1):
+                    nonlocal d0, sm0, cs0, n0
+                    n1 = tuple(float(t) for t in sn[z, y1, x1])
+                    d1 = float(sd[z, y1, x1])
+                    ccx, ccy = center[z, y1, x1]
+                    d_adopt = (
+                        n1[0] * (ccx - cx) + n1[1] * (ccy - cy) + n1[2] * d1
+                    ) / n1[2]
+                    diff = math.sqrt(float(np.sum((c0 - color[z, y1, x1]) ** 2)))
+                    sim = f32exp(-diff * diff * gamma)
+                    sm1, cs1 = score(z, y, x, d_adopt, n1)
+                    if (greedy and sm1 * sim > sm0) or cs1 * sm1 > sm0 * cs0:
+                        d0, sm0, cs0, n0 = d_adopt, sm1, cs1, n1
+
+                # 1. immediate neighbors (i = dx outer, j = dy inner)
+                for i in (-1, 0, 1):
+                    for j in (-1, 0, 1):
+                        if i == 0 and j == 0:
+                            continue
+                        x1, y1 = x + i, y + j
+                        if 0 <= x1 < mw and 0 <= y1 < mh:
+                            try_update(x1, y1)
+                # 2. long-range taps: UP, DOWN, LEFT, RIGHT per reach step
+                pitch = c_int(step_size)
+                for i in range(1, steps + 1):
+                    off = i * pitch
+                    if y > off:
+                        try_update(x, y - off - 1)
+                    if y < mh - off - 1:
+                        try_update(x, y + off + 1)
+                    if x > off:
+                        try_update(x - off - 1, y)
+                    if x < mw - off - 1:
+                        try_update(x + off + 1, y)
+                # 3. spatial refinement over ring pairs
+                for r in range(8):
+                    x1, y1 = x + ring[r][0], y + ring[r][1]
+                    x2, y2 = x + ring[(r + 1) % 8][0], y + ring[(r + 1) % 8][1]
+                    if not (0 <= x1 < mw and 0 <= y1 < mh and 0 <= x2 < mw and 0 <= y2 < mh):
+                        continue
+                    v1 = np.array(
+                        [center[z, y1, x1, 0] - cx, center[z, y1, x1, 1] - cy, sd[z, y1, x1] - d0]
+                    )
+                    v2 = np.array(
+                        [center[z, y2, x2, 0] - cx, center[z, y2, x2, 1] - cy, sd[z, y2, x2] - d0]
+                    )
+                    cr = _cross3(v1, v2)
+                    nrm = float(np.linalg.norm(cr))
+                    if nrm == 0:
+                        continue  # normalize(0) -> NaN -> never accepted
+                    n1 = tuple(cr / nrm)
+                    sm1, cs1 = score(z, y, x, d0, n1)
+                    if (greedy and sm1 > sm0) or sm1 * cs1 > sm0 * cs0:
+                        sm0, cs0, n0 = sm1, cs1, n1
+                out["d"][z, y, x] = d0
+                out["sm"][z, y, x] = sm0
+                out["cs"][z, y, x] = cs0
+                out["n"][z, y, x] = n0
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Fusion (clcode.cl:1906-1931, 1995-2034, 2037-2101)
+# ---------------------------------------------------------------------------
+
+
+def rasterize_planes(labels, center, state_d, state_n):
+    """Mirror of ``spixl_to_image``."""
+    v, h, w = labels.shape
+    mh, mw = center.shape[1:3]
+    out = np.zeros((v, h, w))
+    for z in range(v):
+        for y in range(h):
+            for x in range(w):
+                idx = int(labels[z, y, x])
+                mx, my = idx % mw, idx // mw
+                nx, ny, nz = state_n[z, my, mx]
+                cx, cy = center[z, my, mx]
+                d = state_d[z, my, mx]
+                out[z, y, x] = (nx * (cx - x) + ny * (cy - y) + nz * d) / nz
     return out

@@ -1,0 +1,119 @@
+import numpy as np
+import pytest
+
+from cl_multiview_stereo_tpu.config import (
+    DerivedGeometry,
+    SlicParams,
+    SystemSettings,
+    build_disp_levels,
+    build_view_subsets,
+)
+from cl_multiview_stereo_tpu.ops import cost_volume, slic, superpixel
+from cl_multiview_stereo_tpu.ops.color import rgb_to_lab
+from cl_multiview_stereo_tpu.testing import mirror, synthetic
+
+
+@pytest.fixture(scope="module")
+def scene():
+    # Tiny 2x2 camera array so the scalar mirror stays tractable.
+    s = SystemSettings(
+        array_width=2,
+        array_height=2,
+        spixl_size=8,
+        min_disp=4,
+        max_disp=11,
+        inc=1,
+        bl_ratio=1.0,
+    )
+    views, gt_disp = synthetic.fronto_parallel_scene(
+        48, 64, array_width=2, array_height=2, disp=7.0, bl_ratio=1.0, seed=5
+    )
+    geom = DerivedGeometry.create(64, 48, s)
+    lab = np.asarray(rgb_to_lab(views))
+    labels, spmap = slic.segment(lab, geom, SlicParams.create(s))
+    return s, geom, lab, np.asarray(labels), spmap, gt_disp
+
+
+def test_extent_matches_mirror(scene):
+    s, geom, lab, labels, spmap, _ = scene
+    got = np.asarray(superpixel.superpixel_extent(labels, spmap.center, geom))
+    for v in range(labels.shape[0]):
+        want = mirror.superpixel_extent(
+            labels[v], np.asarray(spmap.center[v]), s.spixl_size
+        )
+        np.testing.assert_array_equal(got[v], want, err_msg=f"view {v}")
+
+
+def test_extent_step(scene):
+    s, geom, lab, labels, spmap, _ = scene
+    ext = superpixel.superpixel_extent(labels, spmap.center, geom)
+    step = np.asarray(superpixel.extent_step(ext))
+    assert step.min() >= 1.0
+    # interior superpixels of a dense segmentation have near-full extents
+    assert step[:, 2:-2, 2:-2].mean() > 1.5
+
+
+def test_depth_init_matches_mirror(scene):
+    s, geom, lab, labels, spmap, _ = scene
+    ext = superpixel.superpixel_extent(labels, spmap.center, geom)
+    disp_levels = build_disp_levels(s)
+    subset, counts = build_view_subsets(s)
+    got = np.asarray(
+        cost_volume.initial_depth_estimation(
+            lab,
+            spmap.center,
+            ext,
+            disp_levels,
+            subset,
+            counts,
+            s.array_width,
+            s.bl_ratio,
+        )
+    )
+    want = mirror.initial_depth_estimation_v2(
+        lab,
+        np.asarray(spmap.center),
+        np.asarray(ext),
+        disp_levels,
+        subset,
+        counts,
+        s.array_width,
+        s.bl_ratio,
+    )
+    agree = (got == want).mean()
+    assert agree > 0.98, f"disparity agreement {agree}"
+
+
+def test_depth_init_recovers_ground_truth(scene):
+    s, geom, lab, labels, spmap, gt = scene
+    ext = superpixel.superpixel_extent(labels, spmap.center, geom)
+    disp_levels = build_disp_levels(s)
+    subset, counts = build_view_subsets(s)
+    disp = np.asarray(
+        cost_volume.initial_depth_estimation(
+            lab, spmap.center, ext, disp_levels, subset, counts, s.array_width, s.bl_ratio
+        )
+    )
+    # ground truth is constant 7.0 everywhere; interior superpixels must hit it
+    interior = disp[:, 1:-1, 1:-1]
+    assert (np.abs(interior - gt) <= 1.0).mean() > 0.9
+
+
+def test_plane_sweep_dense_recovers_ground_truth():
+    from cl_multiview_stereo_tpu.models import plane_sweep
+
+    s = SystemSettings(
+        array_width=2, array_height=1, min_disp=4, max_disp=11, inc=1, bl_ratio=1.0
+    )
+    views, gt = synthetic.fronto_parallel_scene(
+        48, 64, array_width=2, array_height=1, disp=7.0, bl_ratio=1.0, seed=2
+    )
+    lab = rgb_to_lab(views)
+    subset, counts = build_view_subsets(s)
+    pairs = plane_sweep.build_pairs(subset, counts, s.array_width)
+    disp_levels = tuple(float(d) for d in build_disp_levels(s))
+    disp, cost = plane_sweep.plane_sweep_depth(lab, disp_levels, pairs, s.bl_ratio, 2)
+    disp = np.asarray(disp)
+    # away from the occlusion border, every pixel should hit 7 exactly
+    inner = disp[0, 4:-4, 12:-4]
+    assert (inner == 7.0).mean() > 0.95
