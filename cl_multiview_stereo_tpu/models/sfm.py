@@ -1,0 +1,352 @@
+"""Structure-from-motion: projective cameras, triangulation, and bundle
+adjustment with a distributed Schur-complement solver (north-star extension).
+
+The reference has no poses and no solver anywhere in its tree (SURVEY.md
+section 2.3); its implicit rectified-grid camera (disparity shift scaled by
+``bl_ratio``, clcode.cl:1033-1034) becomes one special case of the pinhole
+model here (``grid_rig_poses``).
+
+Design (TPU-first):
+  * every quantity is a dense, shape-static array: C cameras (axis-angle +
+    translation), P points, N observations (camera id, point id, uv, weight);
+  * Gauss-Newton with Levenberg damping; per-observation Jacobians come from
+    ``jax.jacfwd`` of the projection (2x6 camera, 2x3 point blocks);
+  * the reduced camera system is assembled by segment-sums over observations
+    and solved densely (6C x 6C) — cameras are few, points are many, which
+    is exactly what the Schur trick exploits;
+  * the distributed form shards the observation axis over the mesh and
+    reduces every per-point and per-camera accumulation with ``psum``
+    (``shard_map``), so each chip touches only its observations — the
+    camera solve is replicated (tiny).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Camera model
+# ---------------------------------------------------------------------------
+
+
+def rodrigues(aa: jax.Array) -> jax.Array:
+    """Axis-angle (..., 3) -> rotation matrix (..., 3, 3)."""
+    theta = jnp.linalg.norm(aa, axis=-1, keepdims=True)
+    small = theta < 1e-8
+    axis = aa / jnp.where(small, 1.0, theta)
+    x, y, z = axis[..., 0], axis[..., 1], axis[..., 2]
+    zero = jnp.zeros_like(x)
+    k = jnp.stack(
+        [
+            jnp.stack([zero, -z, y], -1),
+            jnp.stack([z, zero, -x], -1),
+            jnp.stack([-y, x, zero], -1),
+        ],
+        -2,
+    )
+    t = theta[..., None]
+    eye = jnp.eye(3, dtype=aa.dtype)
+    r = eye + jnp.sin(t) * k + (1.0 - jnp.cos(t)) * (k @ k)
+    return jnp.where(small[..., None], eye + k, r)
+
+
+def project(aa: jax.Array, t: jax.Array, X: jax.Array, intr: jax.Array) -> jax.Array:
+    """Pinhole projection of point X (3,) by camera (aa, t), intrinsics
+    (fx, fy, cx, cy).  Returns (2,) pixel coords."""
+    Xc = rodrigues(aa) @ X + t
+    z = Xc[2]
+    u = intr[0] * Xc[0] / z + intr[2]
+    v = intr[1] * Xc[1] / z + intr[3]
+    return jnp.stack([u, v])
+
+
+def grid_rig_poses(
+    view_num: int, array_width: int, baseline: float, bl_ratio: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """The reference's implicit camera rig as explicit poses: identity
+    rotations, translations on a regular grid with the vertical pitch scaled
+    by ``bl_ratio`` (clcode.cl:1033-1034)."""
+    z = np.arange(view_num)
+    t = np.stack(
+        [
+            -(z % array_width) * baseline,
+            -(z // array_width) * baseline * bl_ratio,
+            np.zeros(view_num),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    return np.zeros((view_num, 3), np.float32), t
+
+
+# ---------------------------------------------------------------------------
+# Triangulation
+# ---------------------------------------------------------------------------
+
+
+def triangulate(
+    aa: jax.Array,  # (C, 3)
+    t: jax.Array,  # (C, 3)
+    intr: jax.Array,  # (4,)
+    cam_ab: jax.Array,  # (M, 2) int32 camera pair per match
+    uv_a: jax.Array,  # (M, 2)
+    uv_b: jax.Array,  # (M, 2)
+) -> jax.Array:
+    """Midpoint triangulation of matched rays.  Returns (M, 3) points."""
+    R = rodrigues(aa)  # (C, 3, 3)
+    centers = -jnp.einsum("cij,ci->cj", R, t)  # camera centers (C, 3)
+
+    def ray(cam, uv):
+        d = jnp.stack(
+            [(uv[0] - intr[2]) / intr[0], (uv[1] - intr[3]) / intr[1], jnp.ones(())]
+        )
+        dw = R[cam].T @ d
+        return centers[cam], dw / jnp.linalg.norm(dw)
+
+    def one(pair, ua, ub):
+        oa, da = ray(pair[0], ua)
+        ob, db = ray(pair[1], ub)
+        # closest points on the two rays
+        w0 = oa - ob
+        a = jnp.dot(da, da)
+        b = jnp.dot(da, db)
+        c = jnp.dot(db, db)
+        d_ = jnp.dot(da, w0)
+        e = jnp.dot(db, w0)
+        denom = a * c - b * b
+        s = jnp.where(jnp.abs(denom) > 1e-9, (b * e - c * d_) / denom, 0.0)
+        r = jnp.where(jnp.abs(denom) > 1e-9, (a * e - b * d_) / denom, 0.0)
+        return 0.5 * ((oa + s * da) + (ob + r * db))
+
+    return jax.vmap(one)(cam_ab, uv_a, uv_b)
+
+
+# ---------------------------------------------------------------------------
+# Bundle adjustment
+# ---------------------------------------------------------------------------
+
+
+class BAProblem(NamedTuple):
+    aa: jax.Array  # (C, 3) axis-angle
+    t: jax.Array  # (C, 3)
+    X: jax.Array  # (P, 3)
+    intr: jax.Array  # (4,)
+    obs_cam: jax.Array  # (N,) int32
+    obs_pt: jax.Array  # (N,) int32
+    obs_uv: jax.Array  # (N, 2)
+    obs_w: jax.Array  # (N,) float32 weights (0 disables an observation)
+
+
+def residuals(p: BAProblem) -> jax.Array:
+    def one(cam, pt, uv):
+        return project(p.aa[cam], p.t[cam], p.X[pt], p.intr) - uv
+
+    return jax.vmap(one)(p.obs_cam, p.obs_pt, p.obs_uv)  # (N, 2)
+
+
+def rms_error(p: BAProblem) -> jax.Array:
+    r = residuals(p) * p.obs_w[:, None]
+    denom = jnp.maximum(jnp.sum(p.obs_w), 1.0)
+    return jnp.sqrt(jnp.sum(r * r) / (2.0 * denom))
+
+
+def _obs_blocks(p: BAProblem):
+    """Per-observation residual + Jacobian blocks (2x6 camera, 2x3 point)."""
+
+    def res_fn(camp, X, cam_i, uv):
+        return project(camp[:3], camp[3:], X, p.intr) - uv
+
+    def one(cam, pt, uv, wgt):
+        camp = jnp.concatenate([p.aa[cam], p.t[cam]])
+        X = p.X[pt]
+        r = res_fn(camp, X, cam, uv)
+        jc = jax.jacfwd(res_fn, argnums=0)(camp, X, cam, uv)  # (2, 6)
+        jp = jax.jacfwd(res_fn, argnums=1)(camp, X, cam, uv)  # (2, 3)
+        return r * wgt, jc * wgt, jp * wgt
+
+    return jax.vmap(one)(p.obs_cam, p.obs_pt, p.obs_uv, p.obs_w)
+
+
+def _assemble(p: BAProblem, r, jc, jp, n_cam: int, n_pt: int, psum=None):
+    """Normal-equation blocks via segment sums; ``psum`` reduces partials
+    across shards when given."""
+    hcc = jax.ops.segment_sum(
+        jnp.einsum("nij,nik->njk", jc, jc), p.obs_cam, num_segments=n_cam
+    )  # (C, 6, 6)
+    hpp = jax.ops.segment_sum(
+        jnp.einsum("nij,nik->njk", jp, jp), p.obs_pt, num_segments=n_pt
+    )  # (P, 3, 3)
+    bc = jax.ops.segment_sum(
+        -jnp.einsum("nij,ni->nj", jc, r), p.obs_cam, num_segments=n_cam
+    )  # (C, 6)
+    bp = jax.ops.segment_sum(
+        -jnp.einsum("nij,ni->nj", jp, r), p.obs_pt, num_segments=n_pt
+    )  # (P, 3)
+    if psum is not None:
+        hcc, hpp, bc, bp = psum(hcc), psum(hpp), psum(bc), psum(bp)
+    return hcc, hpp, bc, bp
+
+
+def _schur_solve(p: BAProblem, r, jc, jp, n_cam, n_pt, damping, psum=None):
+    hcc, hpp, bc, bp = _assemble(p, r, jc, jp, n_cam, n_pt, psum)
+
+    lam = damping
+    hpp = hpp + lam * jnp.eye(3)[None] * jnp.maximum(
+        jnp.trace(hpp, axis1=-2, axis2=-1)[..., None, None] / 3.0, 1e-6
+    )
+    hpp_inv = jnp.linalg.inv(hpp)  # (P, 3, 3)
+
+    # W blocks per observation: jc^T jp (6, 3); Schur outer products couple
+    # camera pairs through shared points.  Assemble the dense reduced system
+    # S (6C x 6C) via scatter-add over observation pairs sharing a point:
+    # S -= sum_j (sum_i W_ij) ... done as per-point (6C-sparse) outer terms.
+    w_obs = jnp.einsum("nij,nik->njk", jc, jp)  # (N, 6, 3)
+    # Per-point stacked camera coupling: for each point j, Y_j = sum over its
+    # obs of W placed at the obs camera row.  We avoid a (P, C, 6, 3) dense
+    # tensor by accumulating the two Schur contractions directly:
+    #   S[a,b] -= W_aj Hpp_j^-1 W_bj^T  for every obs pair (a, j), (b, j)
+    # = scatter over the N x N obs pairs with equal point id — done as a
+    # segment matmul through the point axis.
+    y_obs = jnp.einsum("njk,nkl->njl", w_obs, hpp_inv[p.obs_pt])  # (N, 6, 3)
+    # rhs correction: bc - sum_j W_j Hpp_j^-1 bp_j  (the correction is a
+    # local partial sum; reduce it before subtracting from the already
+    # reduced bc)
+    rhs_corr = jax.ops.segment_sum(
+        jnp.einsum("njk,nk->nj", y_obs, bp[p.obs_pt]), p.obs_cam, num_segments=n_cam
+    ).reshape(-1)
+    if psum is not None:
+        rhs_corr = psum(rhs_corr)
+    rhs = bc.reshape(-1) - rhs_corr
+
+    # Dense S: accumulate per-point (C6 x C6) contributions.  P_cp[j] holds
+    # sum of Y over obs of (cam, point); build (P, C, 6, 3) only implicitly
+    # via two segment sums into a (C, P, ...) layout kept sparse by points'
+    # few observers — for moderate C we materialize (P, C6, 3), acceptable
+    # for the supported problem sizes (C <= ~128).
+    c6 = n_cam * 6
+    y_flat = jnp.zeros((n_pt, c6, 3), y_obs.dtype)
+    rows = (p.obs_cam[:, None] * 6 + jnp.arange(6)[None, :]).reshape(-1)
+    pts = jnp.repeat(p.obs_pt, 6)
+    y_flat = y_flat.at[pts, rows].add(y_obs.reshape(-1, 3))
+    w_flat = jnp.zeros((n_pt, c6, 3), w_obs.dtype)
+    w_flat = w_flat.at[pts, rows].add(w_obs.reshape(-1, 3))
+    if psum is not None:
+        y_flat, w_flat = psum(y_flat), psum(w_flat)
+    s_corr = jnp.einsum("pik,pjk->ij", y_flat, w_flat)  # (6C, 6C)
+
+    hcc_d = hcc + lam * jnp.eye(6)[None] * jnp.maximum(
+        jnp.trace(hcc, axis1=-2, axis2=-1)[..., None, None] / 6.0, 1e-6
+    )
+    s_full = jax.scipy.linalg.block_diag(*[hcc_d[i] for i in range(n_cam)]) - s_corr
+
+    # Gauge fix: pin camera 0 by pinning its 6 rows/cols to identity.
+    fix = jnp.arange(6)
+    s_full = s_full.at[fix, :].set(0.0).at[:, fix].set(0.0)
+    s_full = s_full.at[fix, fix].set(1.0)
+    rhs = rhs.at[fix].set(0.0)
+
+    dc = jnp.linalg.solve(s_full, rhs).reshape(n_cam, 6)
+
+    # Back-substitute points: dX = Hpp^-1 (bp - W^T dc)
+    wt_dc = jax.ops.segment_sum(
+        jnp.einsum("njk,nj->nk", w_obs, dc[p.obs_cam]), p.obs_pt, num_segments=n_pt
+    )
+    if psum is not None:
+        wt_dc = psum(wt_dc)
+    dx = jnp.einsum("pij,pj->pi", hpp_inv, bp - wt_dc)
+    return dc, dx
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def bundle_adjust(p: BAProblem, iters: int = 10, damping: float = 1e-3) -> BAProblem:
+    """Levenberg-damped Gauss-Newton BA (single device)."""
+    n_cam = p.aa.shape[0]
+    n_pt = p.X.shape[0]
+
+    def step(prob, _):
+        r, jc, jp = _obs_blocks(prob)
+        dc, dx = _schur_solve(prob, r, jc, jp, n_cam, n_pt, damping)
+        new = prob._replace(
+            aa=prob.aa + dc[:, :3], t=prob.t + dc[:, 3:], X=prob.X + dx
+        )
+        # accept only if error improves (cheap LM-style guard)
+        better = rms_error(new) < rms_error(prob)
+        keep = lambda a, b: jnp.where(better, a, b)
+        merged = BAProblem(
+            aa=keep(new.aa, prob.aa),
+            t=keep(new.t, prob.t),
+            X=keep(new.X, prob.X),
+            intr=prob.intr,
+            obs_cam=prob.obs_cam,
+            obs_pt=prob.obs_pt,
+            obs_uv=prob.obs_uv,
+            obs_w=prob.obs_w,
+        )
+        return merged, rms_error(merged)
+
+    out, errs = jax.lax.scan(step, p, None, length=iters)
+    return out
+
+
+def bundle_adjust_sharded(p: BAProblem, mesh, iters: int = 10, damping: float = 1e-3):
+    """Distributed BA: observations sharded over the mesh's ``view`` axis,
+    every normal-equation accumulation reduced with ``psum`` over ICI;
+    camera/point state replicated (BASELINE north star: per-chip camera
+    blocks, Schur reduction via collectives)."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    n_cam = p.aa.shape[0]
+    n_pt = p.X.shape[0]
+    n_dev = mesh.shape["view"]
+    n_obs = p.obs_cam.shape[0]
+    pad = (-n_obs) % n_dev
+    if pad:
+        p = p._replace(
+            obs_cam=jnp.pad(p.obs_cam, (0, pad)),
+            obs_pt=jnp.pad(p.obs_pt, (0, pad)),
+            obs_uv=jnp.pad(p.obs_uv, ((0, pad), (0, 0))),
+            obs_w=jnp.pad(p.obs_w, (0, pad)),
+        )
+
+    psum = partial(jax.lax.psum, axis_name="view")
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(), P(),  # aa, t, X, intr (replicated)
+            P("view"), P("view"), P("view"), P("view"),  # observations
+        ),
+        out_specs=(P(), P()),
+    )
+    def one_round(aa, t, X, intr, ocam, opt, ouv, ow):
+        prob = BAProblem(aa, t, X, intr, ocam, opt, ouv, ow)
+        r, jc, jp = _obs_blocks(prob)
+        dc, dx = _schur_solve(prob, r, jc, jp, n_cam, n_pt, damping, psum=psum)
+        return dc, dx
+
+    prob = p
+    for _ in range(iters):
+        dc, dx = one_round(
+            prob.aa, prob.t, prob.X, prob.intr,
+            prob.obs_cam, prob.obs_pt, prob.obs_uv, prob.obs_w,
+        )
+        new = prob._replace(
+            aa=prob.aa + dc[:, :3], t=prob.t + dc[:, 3:], X=prob.X + dx
+        )
+        if float(rms_error(new)) < float(rms_error(prob)):
+            prob = new
+    return prob
+
+
+def ate(t_est: jax.Array, t_gt: jax.Array) -> jax.Array:
+    """Absolute trajectory error (RMSE of camera translations; gauge is
+    already fixed to camera 0)."""
+    d = t_est - t_gt
+    return jnp.sqrt(jnp.mean(jnp.sum(d * d, axis=-1)))
