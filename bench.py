@@ -45,17 +45,20 @@ def main() -> None:
     pipe = MVSPipeline.create(w, h, s)
 
     import jax
+    import jax.numpy as jnp
 
     def run():
         art = pipe.run(rgb)
-        return art.disp_full
+        # Force real completion: pull a scalar to the host (on the axon
+        # tunnel platform block_until_ready returns before execution ends).
+        return float(jnp.sum(art.disp_full.ravel()[:: 4096].sum()))
 
     # Warmup/compile
-    out = jax.block_until_ready(run())
+    run()
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(run())
+        run()
         times.append(time.perf_counter() - t0)
     dt = sorted(times)[len(times) // 2]
     mp_per_s = (s.view_num * h * w) / dt / 1e6

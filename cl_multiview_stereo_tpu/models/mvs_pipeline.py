@@ -54,6 +54,7 @@ class MVSPipeline:
     settings: SystemSettings
     geom: DerivedGeometry
     cross_check: bool = False
+    depth_method: str = "dense"  # "dense" (TPU-fast) or "gather" (exact)
 
     @classmethod
     def create(
@@ -85,6 +86,9 @@ class MVSPipeline:
             subset_num,
             s.array_width,
             s.bl_ratio,
+            method=self.depth_method,
+            neib_hor=s.neib_hor,
+            neib_ver=s.neib_ver,
         )
         flatness = refine.compute_flatness(spmap.color, sched.gamma_eff)
         ctx = refine.make_context(

@@ -20,26 +20,36 @@ Behavioral spec (all ``clMVDE/clcode.cl``):
     (8 immediate + 4*steps long-range + 8 refinement moves), Jacobi-swept
     with ping-pong state buffers (depth_refinement.cpp:744-753)
 
-TPU-first design:
-  * one jitted program per propagation iteration; the per-superpixel move
-    chain becomes a ``lax.scan`` over a static move table, each step
-    rescoring *every* superpixel of every view at once (the reference
-    parallelizes over superpixels the same way — one thread each);
-  * immediate-neighbor taps are static shifts (pad+slice); only the
-    flatness-scaled long-range taps and the cross-view consistency lookups
-    are data-dependent gathers;
-  * the Jacobi ping-pong is ``state_in -> state_out`` functional purity:
-    scoring always reads ``state_in``, the chain carry holds each
-    superpixel's own evolving plane, exactly like the device registers.
+TPU-first design — the scoring terms are restructured around what is
+*move-independent* within one Jacobi sweep (the input state is frozen, so
+almost everything is):
 
-Parameter conventions: ``gamma``/``alpha`` here are the *effective*
-multipliers ``1/(2*gamma_cfg^2)`` etc. (RefinementSchedule), ``steps`` and
-``step_size`` the per-iteration decayed reach.
+  * smoothness tap positions, tap data (neighbor centers/colors/disparities)
+    and the color-similarity weights — including the entire weight
+    normalizer — depend only on the input state; they are gathered ONCE per
+    iteration into a dense tap cache ``(V, Mh, Mw, T, ch)``.  Each move's
+    smoothness is then pure vector math (plane extrapolation + exp + dot),
+    no gathers at all.
+  * the consistency term's neighbor-view lookup chain
+    (pixel -> idx_img -> superpixel -> stored plane -> plane interpolation
+    at the hit pixel, cl:1581-1597) is algebraically identical to reading
+    the *rasterized* input state (``spixl_to_image`` of state_in) at the
+    projected pixel.  We rasterize disparity once per iteration, pack it
+    with the per-pixel superpixel color into one flat ``(V*H*W, 4)`` table,
+    and each move's consistency is ONE fused gather + vector math.
+  * the 8+4*steps ``update``-move candidate planes (neighbor plane
+    extrapolated to own center, cl:1649) depend only on the input state,
+    so they are pre-gathered as a batch; the move chain itself is a
+    ``lax.scan`` whose carry is each superpixel's evolving best plane —
+    bitwise the same accept sequence as the reference's per-thread loop.
+
+Parameter conventions: ``gamma``/``alpha`` are the *effective* multipliers
+``1/(2*gamma_cfg^2)`` etc. (RefinementSchedule); ``steps``/``step_size`` the
+per-iteration decayed reach.
 """
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import NamedTuple
 
@@ -70,7 +80,7 @@ class RefineContext(NamedTuple):
     fl: jax.Array  # (V, Mh, Mw, 2) float32 flatness weights
     view_subset: jax.Array  # (V, max_n) int32, -1 padded
     dv: jax.Array  # (V, max_n, 2) float32 camera-grid deltas (dvx, dvy)
-    img_hw: tuple[int, int]
+    ras_color: jax.Array  # (V*H*W, 3) float32 owning superpixel's color/pixel
 
 
 def make_context(
@@ -78,21 +88,32 @@ def make_context(
 ) -> RefineContext:
     from cl_multiview_stereo_tpu.ops.superpixel import consistency_samples
 
+    center = jnp.asarray(center)
+    color = jnp.asarray(color)
+    labels = jnp.asarray(labels)
     v = center.shape[0]
+    mh, mw = center.shape[1:3]
     z = jnp.arange(v, dtype=jnp.int32)
-    ids = jnp.clip(view_subset, 0, v - 1)
+    ids = jnp.clip(jnp.asarray(view_subset), 0, v - 1)
     dvx = ((ids % array_width) - (z % array_width)[:, None]).astype(jnp.float32)
     dvy = ((ids // array_width) - (z // array_width)[:, None]).astype(jnp.float32)
+
+    # per-pixel owning-superpixel color, flattened (iteration-independent)
+    flat_sp = (
+        jnp.arange(v, dtype=jnp.int32)[:, None, None] * (mh * mw) + labels
+    ).reshape(-1)
+    ras_color = color.reshape(-1, 3)[flat_sp]
+
     return RefineContext(
-        center=jnp.asarray(center),
-        color=jnp.asarray(color),
+        center=center,
+        color=color,
         disp0=jnp.asarray(disp0),
-        labels=jnp.asarray(labels),
+        labels=labels,
         samples=consistency_samples(jnp.asarray(extent)),
         fl=jnp.asarray(fl),
-        view_subset=view_subset,
+        view_subset=jnp.asarray(view_subset),
         dv=jnp.stack([dvx, dvy], axis=-1),
-        img_hw=(labels.shape[1], labels.shape[2]),
+        ras_color=ras_color,
     )
 
 
@@ -119,33 +140,180 @@ def compute_flatness(color: jax.Array, gamma: float) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
-# Shared gather helpers
+# Iteration cache
 # ---------------------------------------------------------------------------
 
 
-def _shift_map(x: jax.Array, dx: int, dy: int):
-    """Static superpixel-grid shift: out[v, y, x] = in[v, y+dy, x+dx] with a
-    validity mask (no wraparound)."""
-    v, mh, mw = x.shape[:3]
-    rolled = jnp.roll(x, shift=(-dy, -dx), axis=(1, 2))
-    col = jax.lax.broadcasted_iota(jnp.int32, (mh, mw), 1)[None]
-    row = jax.lax.broadcasted_iota(jnp.int32, (mh, mw), 0)[None]
-    ok = (col + dx >= 0) & (col + dx < mw) & (row + dy >= 0) & (row + dy < mh)
-    return rolled, ok
+class IterCache(NamedTuple):
+    """Move-independent data for one Jacobi sweep (input state frozen)."""
+
+    tap_ax: jax.Array  # (V, Mh, Mw, T) cx - tap_cx
+    tap_ay: jax.Array  # (V, Mh, Mw, T) cy - tap_cy
+    tap_d: jax.Array  # (V, Mh, Mw, T) input-state disparity at tap
+    tap_sim: jax.Array  # (V, Mh, Mw, T) similarity weight (0 if invalid)
+    wn: jax.Array  # (V, Mh, Mw) move-independent weight normalizer
+    ras: jax.Array  # (V*H*W, 4) packed [state disparity, Lab color] / pixel
+    ring_dcx: jax.Array  # (V, Mh, Mw, 8) ring-neighbor cx - cx  (refit moves)
+    ring_dcy: jax.Array  # (V, Mh, Mw, 8)
+    ring_d: jax.Array  # (V, Mh, Mw, 8) input-state d at ring neighbor
+    ring_ok: jax.Array  # (V, Mh, Mw, 8) bool
 
 
-def _gather_map(x: jax.Array, mx: jax.Array, my: jax.Array):
-    """Gather a (V, Mh, Mw, ...) field at integer grid coords (clipped)."""
-    v, mh, mw = x.shape[:3]
-    extra = mx.ndim - 3
-    vid = jnp.arange(v, dtype=jnp.int32).reshape((v,) + (1,) * (mx.ndim - 1))
-    return x[vid, jnp.clip(my, 0, mh - 1), jnp.clip(mx, 0, mw - 1)]
+# Ring neighbor order of the refinement stage (cl:1865-1873), (dx, dy).
+_RING = ((-1, 0), (-1, -1), (0, -1), (1, -1), (1, 0), (1, 1), (0, 1), (-1, 1))
+# Immediate-neighbor smoothness tap order (cl:1144; order is sum-irrelevant
+# but kept for clarity): i (x) outer, j (y) inner.
+_IMM = tuple((i, j) for i in (-1, 0, 1) for j in (-1, 0, 1) if not (i == 0 and j == 0))
 
 
-def _gather_view(x: jax.Array, view: jax.Array, my: jax.Array, mx: jax.Array):
-    """Gather a (V, Mh, Mw, ...) field at (view, my, mx) index arrays."""
-    mh, mw = x.shape[1:3]
-    return x[view, jnp.clip(my, 0, mh - 1), jnp.clip(mx, 0, mw - 1)]
+def _rasterize_flat(
+    ctx: RefineContext, state_d: jax.Array, state_n: jax.Array
+) -> jax.Array:
+    """Rasterize the input state to per-pixel disparity (``spixl_to_image``,
+    cl:1906-1931) and pack with the per-pixel superpixel color.
+    Returns (V*H*W, 4)."""
+    v, mh, mw = state_d.shape
+    h, w = ctx.labels.shape[1:3]
+    mx = ctx.labels % mw
+    my = ctx.labels // mw
+    vid = jnp.arange(v, dtype=jnp.int32)[:, None, None]
+    ctr = ctx.center[vid, my, mx]
+    d = state_d[vid, my, mx]
+    n = state_n[vid, my, mx]
+    px = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)[None].astype(jnp.float32)
+    py = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)[None].astype(jnp.float32)
+    disp = (
+        n[..., 0] * (ctr[..., 0] - px) + n[..., 1] * (ctr[..., 1] - py) + n[..., 2] * d
+    ) / n[..., 2]
+    return jnp.concatenate([disp.reshape(-1, 1), ctx.ras_color], axis=-1)
+
+
+def build_cache(
+    ctx: RefineContext,
+    tgt_d: jax.Array,
+    state_n: jax.Array | None,
+    *,
+    gamma: float,
+    steps: int,
+    step_size: float,
+) -> IterCache:
+    """Gather every move-independent quantity for one sweep.
+
+    ``tgt_d``/``state_n``: the frozen input state (initial disparities +
+    fronto normals for the init forms).
+    """
+    v, mh, mw = tgt_d.shape
+    center = ctx.center
+    color = ctx.color
+    colg = jax.lax.broadcasted_iota(jnp.int32, (mh, mw), 1)[None]
+    rowg = jax.lax.broadcasted_iota(jnp.int32, (mh, mw), 0)[None]
+
+    # tap positions: 8 immediate + 4*steps long-range at flatness pitch
+    # (cl:1169 / cl:1437: step_sz = max(1, (int)(fl.x*kss + 0.5)))
+    step_sz = jnp.maximum(1, (ctx.fl[..., 0] * step_size + 0.5).astype(jnp.int32))
+    tx_list, ty_list, g_list, ok_list = [], [], [], []
+    for dx, dy in _IMM:
+        tx = colg + dx
+        ty = rowg + dy
+        ok = (tx >= 0) & (ty >= 0) & (tx < mw) & (ty < mh)
+        tx_list.append(jnp.broadcast_to(tx, tgt_d.shape))
+        ty_list.append(jnp.broadcast_to(ty, tgt_d.shape))
+        g_list.append(gamma)
+        ok_list.append(jnp.broadcast_to(ok, tgt_d.shape))
+    for i in range(1, steps + 1):
+        step = i * step_sz  # (V, Mh, Mw)
+        off = step + 1
+        for axis, sign in ((0, -1), (0, 1), (1, -1), (1, 1)):  # L R U D
+            if axis == 0:
+                tx = colg + sign * off
+                ty = jnp.broadcast_to(rowg, tgt_d.shape)
+                ok = (colg > step) if sign < 0 else (colg < mw - step - 1)
+            else:
+                tx = jnp.broadcast_to(colg, tgt_d.shape)
+                ty = rowg + sign * off
+                ok = (rowg > step) if sign < 0 else (rowg < mh - step - 1)
+            tx_list.append(tx)
+            ty_list.append(ty)
+            g_list.append(gamma * (1 + i))
+            ok_list.append(jnp.broadcast_to(ok, tgt_d.shape))
+
+    tx = jnp.stack(tx_list, axis=-1)  # (V, Mh, Mw, T)
+    ty = jnp.stack(ty_list, axis=-1)
+    ok = jnp.stack(ok_list, axis=-1)
+    gammas = jnp.asarray(g_list, jnp.float32)  # (T,)
+
+    # one packed gather for all taps: [cx, cy, r, g, b, d]
+    packed = jnp.concatenate(
+        [center, color, tgt_d[..., None]], axis=-1
+    ).reshape(-1, 6)
+    flat = (
+        jnp.arange(v, dtype=jnp.int32)[:, None, None, None] * (mh * mw)
+        + jnp.clip(ty, 0, mh - 1) * mw
+        + jnp.clip(tx, 0, mw - 1)
+    )
+    tap = packed[flat.reshape(-1)].reshape(v, mh, mw, -1, 6)
+
+    tap_ax = center[..., 0:1] - tap[..., 0]
+    tap_ay = center[..., 1:2] - tap[..., 1]
+    cdiff = jnp.sum((color[..., None, :] - tap[..., 2:5]) ** 2, axis=-1)
+    tap_sim = jnp.where(ok, jnp.exp(-cdiff * gammas), 0.0)
+    tap_d = tap[..., 5]
+    wn = jnp.sum(tap_sim, axis=-1)
+
+    # rasterized input state for consistency lookups
+    if state_n is None:
+        n_fronto = jnp.zeros(tgt_d.shape + (3,), jnp.float32).at[..., 2].set(1.0)
+        ras = _rasterize_flat(ctx, tgt_d, n_fronto)
+    else:
+        ras = _rasterize_flat(ctx, tgt_d, state_n)
+
+    # ring data for the plane-refit moves (first 8 taps ARE the ring
+    # positions but in a different order; regather in ring order, cheap)
+    rtx = jnp.stack([colg + dx for dx, dy in _RING], axis=-1)
+    rty = jnp.stack([rowg + dy for dx, dy in _RING], axis=-1)
+    rok = (rtx >= 0) & (rty >= 0) & (rtx < mw) & (rty < mh)
+    rflat = (
+        jnp.arange(v, dtype=jnp.int32)[:, None, None, None] * (mh * mw)
+        + jnp.clip(rty, 0, mh - 1) * mw
+        + jnp.clip(rtx, 0, mw - 1)
+    )
+    rpack = packed[rflat.reshape(-1)].reshape(v, mh, mw, 8, 6)
+    ring_dcx = rpack[..., 0] - center[..., 0:1]
+    ring_dcy = rpack[..., 1] - center[..., 1:2]
+    ring_d = rpack[..., 5]
+
+    return IterCache(
+        tap_ax=tap_ax,
+        tap_ay=tap_ay,
+        tap_d=tap_d,
+        tap_sim=tap_sim,
+        wn=wn,
+        ras=ras,
+        ring_dcx=ring_dcx,
+        ring_dcy=ring_dcy,
+        ring_d=ring_d,
+        ring_ok=jnp.broadcast_to(rok, rpack.shape[:4]),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scoring from the cache
+# ---------------------------------------------------------------------------
+
+
+def smoothness_from_cache(
+    cache: IterCache, d0: jax.Array, n0: jax.Array, *, alpha: float
+) -> jax.Array:
+    """cl:1136-1254 / cl:1407-1525 with all gathers hoisted into the cache.
+
+    ``d_intrp = (n.(c - c_tap) + nz*d0)/nz`` per tap; the weight normalizer
+    is move-independent (similarities don't involve the candidate plane).
+    """
+    nx, ny, nz = n0[..., 0:1], n0[..., 1:2], n0[..., 2:3]
+    d_intrp = (nx * cache.tap_ax + ny * cache.tap_ay + nz * d0[..., None]) / nz
+    diff = d_intrp - cache.tap_d
+    sm = jnp.sum(cache.tap_sim * jnp.exp(-diff * diff * alpha), axis=-1)
+    return jnp.where(cache.wn > 0, sm / cache.wn, _EPS_SM)
 
 
 def _cl_round(x: jax.Array) -> jax.Array:
@@ -153,101 +321,9 @@ def _cl_round(x: jax.Array) -> jax.Array:
     return jnp.where(x >= 0, jnp.floor(x + 0.5), jnp.ceil(x - 0.5))
 
 
-# ---------------------------------------------------------------------------
-# Smoothness score (cl:1136-1254 init / cl:1407-1525 candidate-plane form)
-# ---------------------------------------------------------------------------
-
-
-def smoothness_score(
+def consistency_from_cache(
     ctx: RefineContext,
-    tgt_d: jax.Array,  # (V, Mh, Mw) neighbor disparity field compared against
-    d0: jax.Array,  # (V, Mh, Mw) candidate plane disparity at own center
-    n0: jax.Array,  # (V, Mh, Mw, 3) candidate plane normal
-    *,
-    gamma: float,
-    alpha: float,
-    steps: int,
-    step_size: float,
-) -> jax.Array:
-    """Unified smoothness: ``init_smoothness`` is this with the
-    fronto-parallel candidate (n0=(0,0,1) makes the plane extrapolation
-    collapse to d0, cl:1428 vs cl:1160-1162) and ``tgt_d`` = initial
-    disparities; ``compute_smoothness`` is this with ``tgt_d`` = the input
-    state buffer's disparities."""
-    center = ctx.center
-    color = ctx.color
-    cxf, cyf = center[..., 0], center[..., 1]
-    nx, ny, nz = n0[..., 0], n0[..., 1], n0[..., 2]
-
-    sm = jnp.zeros_like(d0)
-    wn = jnp.zeros_like(d0)
-
-    # 8 immediate ring neighbors (static shifts); loop order is irrelevant
-    # here because the accumulation is a sum.
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            if dx == 0 and dy == 0:
-                continue
-            c_nbr, ok = _shift_map(center, dx, dy)
-            col_nbr, _ = _shift_map(color, dx, dy)
-            d_nbr, _ = _shift_map(tgt_d, dx, dy)
-            diff_c = jnp.sum((color - col_nbr) ** 2, axis=-1)
-            sim = jnp.exp(-diff_c * gamma)
-            d_intrp = (
-                nx * (cxf - c_nbr[..., 0]) + ny * (cyf - c_nbr[..., 1]) + nz * d0
-            ) / nz
-            diff_d = d_intrp - d_nbr
-            w = jnp.where(ok, sim, 0.0)
-            sm = sm + w * jnp.exp(-diff_d * diff_d * alpha)
-            wn = wn + w
-
-    # Long-range taps at flatness-scaled pitch (cl:1169-1246 / cl:1437-1519).
-    v, mh, mw = d0.shape
-    colg = jax.lax.broadcasted_iota(jnp.int32, (mh, mw), 1)[None]
-    rowg = jax.lax.broadcasted_iota(jnp.int32, (mh, mw), 0)[None]
-    step_sz = jnp.maximum(
-        1, (ctx.fl[..., 0] * step_size + 0.5).astype(jnp.int32)
-    )  # (V, Mh, Mw), C trunc cast of fl.x*kss+0.5 == round for positives
-
-    for i in range(1, steps + 1):
-        gamma_i = gamma * (1 + i)
-        step = i * step_sz
-        for axis, sign in ((0, -1), (0, 1), (1, -1), (1, 1)):
-            # order Left, Right, Up, Down (cl:1176-1245); sum-commutative
-            off = step + 1
-            if axis == 0:
-                tx = colg + sign * off
-                ty = rowg + jnp.zeros_like(step)
-                ok = jnp.where(sign < 0, colg > step, colg < mw - step - 1)
-            else:
-                tx = colg + jnp.zeros_like(step)
-                ty = rowg + sign * off
-                ok = jnp.where(sign < 0, rowg > step, rowg < mh - step - 1)
-            c_t = _gather_map(center, tx, ty)
-            col_t = _gather_map(color, tx, ty)
-            d_t = _gather_map(tgt_d, tx, ty)
-            diff_c = jnp.sum((color - col_t) ** 2, axis=-1)
-            sim = jnp.exp(-diff_c * gamma_i)
-            d_extp = (
-                nx * (cxf - c_t[..., 0]) + ny * (cyf - c_t[..., 1]) + nz * d0
-            ) / nz
-            diff_d = d_extp - d_t
-            w = jnp.where(ok, sim, 0.0)
-            sm = sm + w * jnp.exp(-diff_d * diff_d * alpha)
-            wn = wn + w
-
-    return jnp.where(wn > 0, sm / wn, _EPS_SM)
-
-
-# ---------------------------------------------------------------------------
-# Consistency score (cl:1260-1357 init / cl:1528-1631 candidate-plane form)
-# ---------------------------------------------------------------------------
-
-
-def consistency_score(
-    ctx: RefineContext,
-    tgt_d: jax.Array,  # (V, Mh, Mw) stored plane disparity per superpixel
-    tgt_n: jax.Array,  # (V, Mh, Mw, 3) stored plane normal per superpixel
+    cache: IterCache,
     d0: jax.Array,
     n0: jax.Array,
     *,
@@ -256,90 +332,65 @@ def consistency_score(
     fuse: float,
     bl_ratio: float,
 ) -> jax.Array:
-    """Unified consistency: ``initialize_consistency`` is this with
-    fronto-parallel candidate and stored planes; ``compute_consistency``
-    with live candidate/stored planes."""
-    h, w = ctx.img_hw
-    mh, mw = ctx.center.shape[1:3]
+    """cl:1260-1357 / cl:1528-1631: the stored-plane interpolation at the
+    projected pixel equals the rasterized input state there, so the whole
+    cross-view chain is one packed gather."""
+    h, w = ctx.labels.shape[1:3]
+    v = d0.shape[0]
     center = ctx.center
-    color = ctx.color
     max_n = ctx.view_subset.shape[1]
 
-    # 9 sample points: xy = (int)center + offset (cl:1567-1569)
-    cx_i = center[..., 0].astype(jnp.int32)[..., None]  # (V,Mh,Mw,1)
+    cx_i = center[..., 0].astype(jnp.int32)[..., None]
     cy_i = center[..., 1].astype(jnp.int32)[..., None]
     sx = cx_i + ctx.samples[..., 0]  # (V, Mh, Mw, 9)
     sy = cy_i + ctx.samples[..., 1]
 
-    # plane interpolation at each sample (cl:1572)
-    nx = n0[..., 0:1]
-    ny = n0[..., 1:2]
-    nz = n0[..., 2:3]
+    nx, ny, nz = n0[..., 0:1], n0[..., 1:2], n0[..., 2:3]
     d_intrp = (
         nx * (center[..., 0:1] - sx.astype(jnp.float32))
         + ny * (center[..., 1:2] - sy.astype(jnp.float32))
         + nz * d0[..., None]
     ) / nz  # (V, Mh, Mw, 9)
 
-    consistency = jnp.zeros_like(d0)
-    view_counter = jnp.zeros_like(d0)
+    # slot axis: (V, 1, 1, max_n, 1)
+    view = jnp.clip(ctx.view_subset, 0, v - 1)[:, None, None, :, None]
+    slot_ok = (ctx.view_subset >= 0)[:, None, None, :, None]
+    dvx = ctx.dv[..., 0][:, None, None, :, None]
+    dvy = ctx.dv[..., 1][:, None, None, :, None]
 
-    for k in range(max_n):
-        view = jnp.clip(ctx.view_subset[:, k], 0, ctx.center.shape[0] - 1)
-        slot_ok = (ctx.view_subset[:, k] >= 0)[:, None, None]
-        dvx = ctx.dv[:, k, 0][:, None, None, None]
-        dvy = ctx.dv[:, k, 1][:, None, None, None]
+    di = d_intrp[..., None, :]  # (V, Mh, Mw, 1, 9)
+    xp = sx[..., None, :] - _cl_round(di * dvx).astype(jnp.int32)
+    yp = sy[..., None, :] - _cl_round(bl_ratio * di * dvy).astype(jnp.int32)
+    inb = (xp >= 0) & (yp >= 0) & (xp < w) & (yp < h)
 
-        xp = sx - _cl_round(d_intrp * dvx).astype(jnp.int32)
-        yp = sy - _cl_round(bl_ratio * d_intrp * dvy).astype(jnp.int32)
-        inb = (xp >= 0) & (yp >= 0) & (xp < w) & (yp < h)
+    flat = (
+        view * (h * w) + jnp.clip(yp, 0, h - 1) * w + jnp.clip(xp, 0, w - 1)
+    )  # (V, Mh, Mw, max_n, 9)
+    g = cache.ras[flat.reshape(-1)].reshape(flat.shape + (4,))
 
-        view_b = view[:, None, None, None]
-        idx_proj = _gather_view(
-            ctx.labels, jnp.broadcast_to(view_b, xp.shape),
-            jnp.clip(yp, 0, h - 1), jnp.clip(xp, 0, w - 1),
-        )  # labels are (V,H,W): gather at pixel coords
-        pmx = idx_proj % mw
-        pmy = idx_proj // mw
+    diff = g[..., 0] - di
+    when_visible = (jnp.abs(diff) < fuse).astype(jnp.float32)
+    inbf = inb.astype(jnp.float32)
+    visible = jnp.sum(inbf * when_visible * jnp.exp(-diff * diff * alpha), axis=-1)
+    visib_sum = jnp.sum(inbf * when_visible, axis=-1)
+    occl_sum = jnp.sum(inbf * (1.0 - when_visible), axis=-1)
+    cdiff = jnp.sum((g[..., 1:4] - ctx.color[..., None, None, :]) ** 2, axis=-1)
+    visibility = jnp.sum(inbf * jnp.exp(-cdiff * gamma), axis=-1)
+    num = jnp.sum(inbf, axis=-1)  # (V, Mh, Mw, max_n)
 
-        viewg = jnp.broadcast_to(view_b, pmx.shape)
-        c_proj = _gather_view(ctx.color, viewg, pmy, pmx)  # (V,Mh,Mw,9,3)
-        ctr_proj = _gather_view(center, viewg, pmy, pmx)
-        d_proj = _gather_view(tgt_d, viewg, pmy, pmx)  # (V,Mh,Mw,9)
-        n_proj = _gather_view(tgt_n, viewg, pmy, pmx)  # (V,Mh,Mw,9,3)
-
-        d_intrp_proj = (
-            n_proj[..., 0] * (ctr_proj[..., 0] - xp.astype(jnp.float32))
-            + n_proj[..., 1] * (ctr_proj[..., 1] - yp.astype(jnp.float32))
-            + n_proj[..., 2] * d_proj
-        ) / n_proj[..., 2]
-
-        diff = d_intrp_proj - d_intrp
-        when_visible = (jnp.abs(diff) < fuse).astype(jnp.float32)
-        inbf = inb.astype(jnp.float32)
-        visible = jnp.sum(
-            inbf * when_visible * jnp.exp(-diff * diff * alpha), axis=-1
-        )
-        visib_sum = jnp.sum(inbf * when_visible, axis=-1)
-        occl_sum = jnp.sum(inbf * (1.0 - when_visible), axis=-1)
-        cdiff = jnp.sum((c_proj - color[..., None, :]) ** 2, axis=-1)
-        visibility = jnp.sum(inbf * jnp.exp(-cdiff * gamma), axis=-1)
-        num = jnp.sum(inbf, axis=-1)
-
-        has = (num > 0) & jnp.broadcast_to(slot_ok, num.shape)
-        contrib = jnp.where(
-            (visib_sum > 0) & has,
-            (visib_sum / jnp.maximum(num, 1.0))
-            * (visibility / jnp.maximum(visib_sum, 1e-30))
-            * (visible / jnp.maximum(visib_sum, 1e-30)),
-            0.0,
-        )
-        contrib = contrib + jnp.where(
-            (occl_sum > 0) & has, 0.5 * ctx.fl[..., 1], 0.0
-        )
-        consistency = consistency + contrib
-        view_counter = view_counter + has.astype(jnp.float32)
-
+    has = (num > 0) & slot_ok[..., 0]
+    contrib = jnp.where(
+        (visib_sum > 0) & has,
+        (visib_sum / jnp.maximum(num, 1.0))
+        * (visibility / jnp.maximum(visib_sum, 1e-30))
+        * (visible / jnp.maximum(visib_sum, 1e-30)),
+        0.0,
+    )
+    contrib = contrib + jnp.where(
+        (occl_sum > 0) & has, 0.5 * ctx.fl[..., 1:2], 0.0
+    )
+    consistency = jnp.sum(contrib, axis=-1)
+    view_counter = jnp.sum(has.astype(jnp.float32), axis=-1)
     return jnp.where(
         view_counter > 0,
         jnp.maximum(_MARGIN, consistency / jnp.maximum(view_counter, 1.0)),
@@ -350,9 +401,6 @@ def consistency_score(
 # ---------------------------------------------------------------------------
 # State init (cl:1362-1404)
 # ---------------------------------------------------------------------------
-
-
-_FRONTO = (0.0, 0.0, 1.0)
 
 
 def init_state(
@@ -367,14 +415,13 @@ def init_state(
 ) -> RefineState:
     """``init_current_state``: score the initial fronto-parallel planes."""
     d0 = ctx.disp0
-    n0 = jnp.broadcast_to(
-        jnp.asarray(_FRONTO, jnp.float32), d0.shape + (3,)
+    n0 = jnp.zeros(d0.shape + (3,), jnp.float32).at[..., 2].set(1.0)
+    cache = build_cache(
+        ctx, ctx.disp0, None, gamma=gamma, steps=steps, step_size=step_size
     )
-    sm = smoothness_score(
-        ctx, ctx.disp0, d0, n0, gamma=gamma, alpha=alpha, steps=steps, step_size=step_size
-    )
-    cs = consistency_score(
-        ctx, ctx.disp0, n0, d0, n0, gamma=gamma, alpha=alpha, fuse=fuse, bl_ratio=bl_ratio
+    sm = smoothness_from_cache(cache, d0, n0, alpha=alpha)
+    cs = consistency_from_cache(
+        ctx, cache, d0, n0, gamma=gamma, alpha=alpha, fuse=fuse, bl_ratio=bl_ratio
     )
     return RefineState(d=d0, sm=sm, cs=cs, n=n0)
 
@@ -383,51 +430,33 @@ def init_state(
 # Propagation (cl:1727-1900)
 # ---------------------------------------------------------------------------
 
-# Ring neighbor order of the refinement stage (cl:1865-1873), (dx, dy).
-_RING = ((-1, 0), (-1, -1), (0, -1), (1, -1), (1, 0), (1, 1), (0, 1), (-1, 1))
 
-_KIND_UPDATE = 0
-_KIND_REFINE = 1
+def _update_move_offsets(
+    steps: int, step_size: float, mw: int, mh: int
+) -> list[tuple[int, int]]:
+    """Static (dx, dy) offsets of the ``update`` moves, in reference order:
+    8 immediate (i outer = x, j inner = y, cl:1768), then per reach step
+    UP, DOWN, LEFT, RIGHT at pitch ``(int)step_size`` (cl:1791-1857).
 
-
-def _move_table(steps: int, step_size: float) -> jnp.ndarray:
-    """Static move list for one propagation iteration:
-    8 immediate ``update`` moves (cl:1768-1787), then per reach step the
-    UP/DOWN/LEFT/RIGHT long-range ``update`` moves (cl:1793-1857), then the
-    8 ``spatialRefinement`` ring-pair moves (cl:1875-1891).
-
-    Each row: (kind, dx1, dy1, dx2, dy2).
-    """
-    rows: list[tuple[int, int, int, int, int]] = []
-    for i in (-1, 0, 1):
-        for j in (-1, 0, 1):
-            if i == 0 and j == 0:
-                continue
-            rows.append((_KIND_UPDATE, i, j, 0, 0))
-    pitch = int(step_size)  # (int)(kernel_step_size), cl:1791
+    Moves whose offset exceeds the map can never pass the bounds guard
+    (cl:1797-1842), so they are dropped at trace time — behaviorally exact
+    and, notably, at the reference's own configuration (pitch 328 on a
+    240x135 map) *every* long-range move is degenerate this way."""
+    offs = list(_IMM)
+    pitch = int(step_size)
     for i in range(1, steps + 1):
         off = i * pitch + 1
-        rows.append((_KIND_UPDATE, 0, -off, 0, 0))  # UP
-        rows.append((_KIND_UPDATE, 0, off, 0, 0))  # DOWN
-        rows.append((_KIND_UPDATE, -off, 0, 0, 0))  # LEFT
-        rows.append((_KIND_UPDATE, off, 0, 0, 0))  # RIGHT
-    for r in range(8):
-        dx1, dy1 = _RING[r]
-        dx2, dy2 = _RING[(r + 1) % 8]
-        rows.append((_KIND_REFINE, dx1, dy1, dx2, dy2))
-    return jnp.asarray(rows, jnp.int32)
+        offs += [(0, -off), (0, off), (-off, 0), (off, 0)]
+    return [(dx, dy) for dx, dy in offs if abs(dx) < mw and abs(dy) < mh]
 
 
-def _cross(v1: jax.Array, v2: jax.Array) -> jax.Array:
-    """Correct 3-vector cross product (device ``cross_product_test``,
-    cl:1676-1685 — NOT the buggy host ``crossVec3f``)."""
-    return jnp.stack(
-        [
-            v1[..., 1] * v2[..., 2] - v1[..., 2] * v2[..., 1],
-            v2[..., 0] * v1[..., 2] - v1[..., 0] * v2[..., 2],
-            v1[..., 0] * v2[..., 1] - v1[..., 1] * v2[..., 0],
-        ],
-        axis=-1,
+def _cross(v1, v2):
+    """Device ``cross_product_test`` (cl:1676-1685) — NOT the buggy host
+    ``crossVec3f`` (file_handler.cpp:167)."""
+    return (
+        v1[1] * v2[2] - v1[2] * v2[1],
+        v2[0] * v1[2] - v1[0] * v2[2],
+        v1[0] * v2[1] - v1[1] * v2[0],
     )
 
 
@@ -447,90 +476,108 @@ def propagate_iteration(
     candidate planes against the *input* state (ping-pong semantics of
     depth_refinement.cpp:744-753)."""
     v, mh, mw = state_in.d.shape
-    colg = jax.lax.broadcasted_iota(jnp.int32, (mh, mw), 1)[None]
-    rowg = jax.lax.broadcasted_iota(jnp.int32, (mh, mw), 0)[None]
     center = ctx.center
-    color = ctx.color
     greedy = it < 4  # cl:1663 / cl:1713
 
-    score_sm = partial(
-        smoothness_score,
-        ctx,
-        state_in.d,
-        gamma=gamma,
-        alpha=alpha,
-        steps=steps,
-        step_size=step_size,
-    )
-    score_cs = partial(
-        consistency_score,
-        ctx,
-        state_in.d,
-        state_in.n,
-        gamma=gamma,
-        alpha=alpha,
-        fuse=fuse,
-        bl_ratio=bl_ratio,
+    cache = build_cache(
+        ctx, state_in.d, state_in.n, gamma=gamma, steps=steps, step_size=step_size
     )
 
-    def move_body(carry, row):
-        d0, sm0, cs0, n0 = carry
-        kind, dx1, dy1, dx2, dy2 = row[0], row[1], row[2], row[3], row[4]
+    # ---- pre-gather update-move candidates (input-state-only) -------------
+    offs = _update_move_offsets(steps, step_size, mw, mh)
+    m = len(offs)
+    colg = jax.lax.broadcasted_iota(jnp.int32, (mh, mw), 1)[None]
+    rowg = jax.lax.broadcasted_iota(jnp.int32, (mh, mw), 0)[None]
+    dxs = jnp.asarray([o[0] for o in offs], jnp.int32)
+    dys = jnp.asarray([o[1] for o in offs], jnp.int32)
+    tx = colg[..., None] + dxs  # (V, Mh, Mw, M)
+    ty = rowg[..., None] + dys
+    ok_m = (tx >= 0) & (ty >= 0) & (tx < mw) & (ty < mh)
+    packed = jnp.concatenate(
+        [center, ctx.color, state_in.d[..., None], state_in.n], axis=-1
+    ).reshape(-1, 9)  # [cx, cy, r, g, b, d, nx, ny, nz]
+    flat = (
+        jnp.arange(v, dtype=jnp.int32)[:, None, None, None] * (mh * mw)
+        + jnp.clip(ty, 0, mh - 1) * mw
+        + jnp.clip(tx, 0, mw - 1)
+    )
+    nb = packed[flat.reshape(-1)].reshape(v, mh, mw, m, 9)
+    n1x, n1y, n1z = nb[..., 6], nb[..., 7], nb[..., 8]
+    d_adopt = (
+        n1x * (nb[..., 0] - center[..., 0:1])
+        + n1y * (nb[..., 1] - center[..., 1:2])
+        + n1z * nb[..., 5]
+    ) / n1z  # (V, Mh, Mw, M)
+    sim_m = jnp.exp(
+        -jnp.sum((ctx.color[..., None, :] - nb[..., 2:5]) ** 2, axis=-1) * gamma
+    )
 
-        tx1, ty1 = colg + dx1, rowg + dy1
-        ok1 = (tx1 >= 0) & (ty1 >= 0) & (tx1 < mw) & (ty1 < mh)
-        tx2, ty2 = colg + dx2, rowg + dy2
-        ok2 = (tx2 >= 0) & (ty2 >= 0) & (tx2 < mw) & (ty2 < mh)
+    score_kw = dict(gamma=gamma, alpha=alpha, fuse=fuse, bl_ratio=bl_ratio)
 
-        # --- update-move candidate: adopt neighbor plane (cl:1639-1649)
-        n1 = _gather_map(state_in.n, tx1, ty1)
-        d1 = _gather_map(state_in.d, tx1, ty1)
-        c1 = _gather_map(center, tx1, ty1)
-        col1 = _gather_map(color, tx1, ty1)
-        d_adopt = (
-            n1[..., 0] * (c1[..., 0] - center[..., 0])
-            + n1[..., 1] * (c1[..., 1] - center[..., 1])
-            + n1[..., 2] * d1
-        ) / n1[..., 2]
-        sim = jnp.exp(-jnp.sum((color - col1) ** 2, axis=-1) * gamma)
-
-        # --- refine-move candidate: plane through self + 2 ring neighbors
-        # (cl:1691-1702); neighbor z comes from the *input* state.
-        c2 = _gather_map(center, tx2, ty2)
-        z2 = _gather_map(state_in.d, tx2, ty2)
-        v1 = jnp.stack(
-            [c1[..., 0] - center[..., 0], c1[..., 1] - center[..., 1], d1 - d0],
-            axis=-1,
+    def update_body(carry, xs):
+        d0, sm0, cs0, n0x, n0y, n0z = carry
+        d_c, n_cx, n_cy, n_cz, sim, valid = xs
+        n_c = jnp.stack([n_cx, n_cy, n_cz], axis=-1)
+        sm1 = smoothness_from_cache(cache, d_c, n_c, alpha=alpha)
+        cs1 = consistency_from_cache(ctx, cache, d_c, n_c, **score_kw)
+        accept = valid & (
+            (greedy & (sm1 * sim > sm0)) | (cs1 * sm1 > sm0 * cs0)
         )
-        v2 = jnp.stack(
-            [c2[..., 0] - center[..., 0], c2[..., 1] - center[..., 1], z2 - d0],
-            axis=-1,
-        )
-        n_fit = _cross(v1, v2)
-        n_fit = n_fit / jnp.linalg.norm(n_fit, axis=-1, keepdims=True)
+        return (
+            jnp.where(accept, d_c, d0),
+            jnp.where(accept, sm1, sm0),
+            jnp.where(accept, cs1, cs0),
+            jnp.where(accept, n_cx, n0x),
+            jnp.where(accept, n_cy, n0y),
+            jnp.where(accept, n_cz, n0z),
+        ), None
 
-        is_upd = kind == _KIND_UPDATE
-        n_cand = jnp.where(is_upd, n1, n_fit)
-        d_cand = jnp.where(is_upd, d_adopt, d0)
-        valid = jnp.where(is_upd, ok1, ok1 & ok2)
+    mv = lambda a: jnp.moveaxis(a, -1, 0)  # move axis leads for scan
+    xs = (
+        mv(d_adopt),
+        mv(n1x),
+        mv(n1y),
+        mv(n1z),
+        mv(sim_m),
+        mv(ok_m),
+    )
+    carry = (
+        state_in.d,
+        state_in.sm,
+        state_in.cs,
+        state_in.n[..., 0],
+        state_in.n[..., 1],
+        state_in.n[..., 2],
+    )
+    carry, _ = jax.lax.scan(update_body, carry, xs)
 
-        sm1 = score_sm(d_cand, n_cand)
-        cs1 = score_cs(d_cand, n_cand)
+    # ---- spatial refinement moves (depend on the evolving d0) -------------
+    def refine_body(carry, r):
+        d0, sm0, cs0, n0x, n0y, n0z = carry
+        r2 = (r + 1) % 8
+        take = lambda a: jnp.take(a, r, axis=-1)
+        take2 = lambda a: jnp.take(a, r2, axis=-1)
+        v1 = (take(cache.ring_dcx), take(cache.ring_dcy), take(cache.ring_d) - d0)
+        v2 = (take2(cache.ring_dcx), take2(cache.ring_dcy), take2(cache.ring_d) - d0)
+        cx_, cy_, cz_ = _cross(v1, v2)
+        norm = jnp.sqrt(cx_ * cx_ + cy_ * cy_ + cz_ * cz_)
+        n_c = jnp.stack([cx_ / norm, cy_ / norm, cz_ / norm], axis=-1)
+        sm1 = smoothness_from_cache(cache, d0, n_c, alpha=alpha)
+        cs1 = consistency_from_cache(ctx, cache, d0, n_c, **score_kw)
+        valid = take(cache.ring_ok) & take2(cache.ring_ok)
+        accept = valid & ((greedy & (sm1 > sm0)) | (sm1 * cs1 > sm0 * cs0))
+        return (
+            d0,
+            jnp.where(accept, sm1, sm0),
+            jnp.where(accept, cs1, cs0),
+            jnp.where(accept, n_c[..., 0], n0x),
+            jnp.where(accept, n_c[..., 1], n0y),
+            jnp.where(accept, n_c[..., 2], n0z),
+        ), None
 
-        accept_u = (greedy & (sm1 * sim > sm0)) | (cs1 * sm1 > sm0 * cs0)
-        accept_r = (greedy & (sm1 > sm0)) | (sm1 * cs1 > sm0 * cs0)
-        accept = valid & jnp.where(is_upd, accept_u, accept_r)
-
-        d0 = jnp.where(accept, d_cand, d0)
-        sm0 = jnp.where(accept, sm1, sm0)
-        cs0 = jnp.where(accept, cs1, cs0)
-        n0 = jnp.where(accept[..., None], n_cand, n0)
-        return (d0, sm0, cs0, n0), None
-
-    table = _move_table(steps, step_size)
-    carry0 = (state_in.d, state_in.sm, state_in.cs, state_in.n)
-    (d0, sm0, cs0, n0), _ = jax.lax.scan(move_body, carry0, table)
-    return RefineState(d=d0, sm=sm0, cs=cs0, n=n0)
+    carry, _ = jax.lax.scan(refine_body, carry, jnp.arange(8))
+    d0, sm0, cs0, n0x, n0y, n0z = carry
+    return RefineState(d=d0, sm=sm0, cs=cs0, n=jnp.stack([n0x, n0y, n0z], axis=-1))
 
 
 def refine(

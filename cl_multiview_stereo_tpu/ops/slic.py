@@ -78,12 +78,32 @@ def init_cluster_centers(lab: jax.Array, geom: DerivedGeometry) -> SuperpixelMap
     return SuperpixelMap(center=center, color=color, count=count, disp=disp)
 
 
+def _upsample_map(field: jax.Array, p: int, q: int, h: int, w: int, s: int):
+    """Dense candidate-field construction: returns per-pixel
+    ``field[v, row//s + p, col//s + q]`` as a (V, H, W, C) array plus a
+    validity mask — built from a static map shift + block repeat, so the
+    whole SLIC assignment needs NO gathers (everything fuses to elementwise
+    selects on TPU)."""
+    v, mh, mw = field.shape[:3]
+    rolled = jnp.roll(field, shift=(-p, -q), axis=(1, 2))
+    colm = jax.lax.broadcasted_iota(jnp.int32, (mh, mw), 1)
+    rowm = jax.lax.broadcasted_iota(jnp.int32, (mh, mw), 0)
+    okm = (colm + q >= 0) & (colm + q < mw) & (rowm + p >= 0) & (rowm + p < mh)
+    up = jnp.repeat(jnp.repeat(rolled, s, axis=1), s, axis=2)[:, :h, :w]
+    okp = jnp.repeat(jnp.repeat(okm[None], s, axis=1), s, axis=2)[:, :h, :w]
+    return up, okp
+
+
 def find_center_association(
     lab: jax.Array, spmap: SuperpixelMap, geom: DerivedGeometry, p: SlicParams
 ) -> jax.Array:
     """Assignment step (clcode.cl:447-520): each pixel picks the nearest of 4
     candidate clusters chosen by half-cell parity.  Returns (V, H, W) int32
     per-view labels.
+
+    The candidate cluster coordinate is a *static* function of the pixel
+    coordinate (home cell + half-cell parity + {-1,0}), so each candidate's
+    center/color fields are parity-selected upsampled maps — no gathers.
     """
     v, h, w = lab.shape[:3]
     s = geom.spixl_size
@@ -93,36 +113,69 @@ def find_center_association(
     row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     cx = col // s
     cy = row // s
-    dx = (col + s // 2) // s - cx
-    dy = (row + s // 2) // s - cy
+    # half-cell parity: dx from the column, dy from the row
+    dxp = ((col % s) + s // 2) // s  # (H, W) in {0, 1}
+    dyp = ((row % s) + s // 2) // s
+
+    packed = jnp.concatenate(
+        [spmap.center, spmap.color], axis=-1
+    )  # (V, Mh, Mw, 5)
 
     best = jnp.full((v, h, w), jnp.inf, jnp.float32)
     best_id = jnp.full((v, h, w), -1, jnp.int32)
 
+    colf = col.astype(jnp.float32)
+    rowf = row.astype(jnp.float32)
+
     # Loop order of clcode.cl:475-479: i in {dx-1, dx} offsets y, j in
-    # {dy-1, dy} offsets x; first strict minimum wins.
+    # {dy-1, dy} offsets x (parity swap quirk preserved); first strict
+    # minimum wins.
+    ups: dict[tuple[int, int], tuple[jax.Array, jax.Array]] = {}
+
+    def get_up(pp, qq):
+        if (pp, qq) not in ups:
+            ups[(pp, qq)] = _upsample_map(packed, pp, qq, h, w, s)
+        return ups[(pp, qq)]
+
     for i_off in (-1, 0):
         for j_off in (-1, 0):
-            qy = cy + dx + i_off  # parity swap quirk preserved
-            qx = cx + dy + j_off
-            valid = (qx >= 0) & (qy >= 0) & (qx < mw) & (qy < mh)
-            qxc = jnp.clip(qx, 0, mw - 1)
-            qyc = jnp.clip(qy, 0, mh - 1)
-            c_center = spmap.center[:, qyc, qxc, :]  # (V, H, W, 2)
-            c_color = spmap.color[:, qyc, qxc, :]  # (V, H, W, 3)
-            color_d = jnp.sum((lab - c_color) ** 2, axis=-1)
-            space_d = (
-                (col.astype(jnp.float32) - c_center[..., 0]) ** 2
-                + (row.astype(jnp.float32) - c_center[..., 1]) ** 2
+            # qy = cy + dxp + i_off; qx = cx + dyp + j_off
+            sel_y = dxp + i_off  # in {-1, 0} or {0, 1} per parity
+            sel_x = dyp + j_off
+            cands = []
+            for pp in (i_off, i_off + 1):
+                rowsel = []
+                for qq in (j_off, j_off + 1):
+                    rowsel.append(get_up(pp, qq))
+                cands.append(rowsel)
+            my = (dxp[None] == 1)
+            mx = (dyp[None] == 1)
+            f00, o00 = cands[0][0]
+            f01, o01 = cands[0][1]
+            f10, o10 = cands[1][0]
+            f11, o11 = cands[1][1]
+            fld = jnp.where(
+                my[..., None],
+                jnp.where(mx[..., None], f11, f10),
+                jnp.where(mx[..., None], f01, f00),
             )
+            ok = jnp.where(my, jnp.where(mx, o11, o10), jnp.where(mx, o01, o00))
+
+            c_center = fld[..., 0:2]
+            c_color = fld[..., 2:5]
+            color_d = jnp.sum((lab - c_color) ** 2, axis=-1)
+            space_d = (colf - c_center[..., 0]) ** 2 + (rowf - c_center[..., 1]) ** 2
             dist = jnp.sqrt(
                 color_d * p.max_color_dist
                 + p.color_weight * space_d * p.max_xy_dist
             )
-            dist = jnp.where(valid[None], dist, jnp.inf)
+            dist = jnp.where(ok, dist, jnp.inf)
+            qy = jnp.clip(cy + dxp + i_off, 0, mh - 1)
+            qx = jnp.clip(cx + dyp + j_off, 0, mw - 1)
+            cand_id = (qy * mw + qx)[None]
             take = dist < best
             best = jnp.where(take, dist, best)
-            best_id = jnp.where(take, qyc * mw + qxc, best_id)
+            best_id = jnp.where(take, cand_id, best_id)
     return best_id
 
 
@@ -144,31 +197,51 @@ def update_cluster_centers(
     row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     gx = labels % mw
     gy = labels // mw
-    in_win = (
-        (col[None] >= gx * s - s)
-        & (col[None] < gx * s + 2 * s)
-        & (row[None] >= gy * s - s)
-        & (row[None] < gy * s + 2 * s)
-    )
-    wgt = in_win.astype(jnp.float32)
+
+    # Scatter-free reduction: a pixel inside its cluster's 3S x 3S window
+    # necessarily carries a label within +-1 cell of its home cell, so the
+    # per-label scatter becomes a 9-class one-hot multiply + per-cell block
+    # sum + 9 static shifts (all dense, MXU/VPU friendly).  Membership
+    # outside the window (|cell delta| > 1) is exactly the window-drop
+    # semantics of the device reduction (clcode.cl:558-566).
+    rel_x = gx - col[None] // s  # (V, H, W) in {-1, 0, 1} when in-window
+    rel_y = gy - row[None] // s
 
     data = jnp.concatenate(
         [
-            lab * wgt[..., None],
-            col.astype(jnp.float32)[None, ..., None] * wgt[..., None],
-            row.astype(jnp.float32)[None, ..., None] * wgt[..., None],
-            wgt[..., None],
+            lab,
+            col.astype(jnp.float32)[None, ..., None]
+            * jnp.ones((v, 1, 1, 1), jnp.float32),
+            row.astype(jnp.float32)[None, ..., None]
+            * jnp.ones((v, 1, 1, 1), jnp.float32),
+            jnp.ones((v, h, w, 1), jnp.float32),
         ],
         axis=-1,
     )  # (V, H, W, 6): Lab, x, y, count
 
-    def per_view(lbl, dat):
-        return jax.ops.segment_sum(
-            dat.reshape(-1, 6), lbl.reshape(-1), num_segments=n_seg
-        )
-
-    sums = jax.vmap(per_view)(labels, data)  # (V, n_seg, 6)
-    sums = sums.reshape(v, mh, mw, 6)
+    hp = mh * s
+    wp = mw * s
+    sums = jnp.zeros((v, mh, mw, 6), jnp.float32)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            sel = ((rel_x == dx) & (rel_y == dy)).astype(jnp.float32)
+            contrib = data * sel[..., None]
+            contrib = jnp.pad(
+                contrib, ((0, 0), (0, hp - h), (0, wp - w), (0, 0))
+            )
+            block = contrib.reshape(v, mh, s, mw, s, 6).sum(axis=(2, 4))
+            # members with home cell (cy, cx) belong to cluster
+            # (cy + dy, cx + dx): shift the block sums accordingly
+            shifted = jnp.roll(block, shift=(dy, dx), axis=(1, 2))
+            colm = jax.lax.broadcasted_iota(jnp.int32, (mh, mw), 1)[None]
+            rowm = jax.lax.broadcasted_iota(jnp.int32, (mh, mw), 0)[None]
+            okm = (
+                (colm - dx >= 0)
+                & (colm - dx < mw)
+                & (rowm - dy >= 0)
+                & (rowm - dy < mh)
+            )
+            sums = sums + jnp.where(okm[..., None], shifted, 0.0)
     n = sums[..., 5]
     nz = n > 0
     denom = jnp.where(nz, n, 1.0)
