@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -26,37 +28,56 @@ _OOB_PENALTY = 30.0
 _BIG = 1.0e6
 
 
-def _shift2d(img: jax.Array, sx: int, sy: int, fill: float) -> jax.Array:
-    """out[y, x] = img[y - sy, x - sx] with ``fill`` outside — static shift
-    via pad+slice (img: (..., H, W, C))."""
-    h, w = img.shape[-3], img.shape[-2]
-    py0, py1 = max(sy, 0), max(-sy, 0)
-    px0, px1 = max(sx, 0), max(-sx, 0)
-    pad = [(0, 0)] * (img.ndim - 3) + [(py0, py1), (px0, px1), (0, 0)]
-    padded = jnp.pad(img, pad, constant_values=fill)
-    return jax.lax.slice(
-        padded,
-        [0] * (img.ndim - 3) + [py1, px1, 0],
-        list(img.shape[:-3]) + [py1 + h, px1 + w, img.shape[-1]],
-    )
+def _resample_axis(img: jax.Array, c: float, axis: int) -> jax.Array:
+    """out[i] = img[(int)(i - c)] along ``axis`` with NaN where the
+    reference's bounds check fails — the exact clcode.cl:1034,1039
+    semantics: truncation of the *projected coordinate*, so the valid
+    window is ``-1 < i - c < n`` and an in-window ``i - c`` in (-1, 0)
+    reads line 0 (``c`` is static)."""
+    import math
+
+    n = img.shape[axis]
+    s = int(math.ceil(c))  # in-window trunc(i - c) == i - s, clamped at 0
+    lo = int(math.floor(c))  # first valid i
+    hi = n - 1 + s  # last valid i
+    idx = [np.clip(i - s, 0, n - 1) if lo <= i <= hi else -1 for i in range(n)]
+    take = np.asarray([max(j, 0) for j in idx])
+    out = jnp.take(img, take, axis=axis)
+    bad = np.asarray(idx) < 0
+    if bad.any():
+        shape = [1] * img.ndim
+        shape[axis] = n
+        out = jnp.where(jnp.reshape(jnp.asarray(bad), shape), jnp.nan, out)
+    return out
+
+
+def _shift2d(img: jax.Array, cx: float, cy: float) -> jax.Array:
+    """out[y, x] = img[(int)(y - cy), (int)(x - cx)] with NaN outside the
+    reference's valid window (img: (..., H, W, C))."""
+    return _resample_axis(_resample_axis(img, cy, img.ndim - 3), cx, img.ndim - 2)
 
 
 def _box_sum(x: jax.Array, radius: int) -> jax.Array:
-    """Separable (2r+1)^2 box sum with zero padding (x: (..., H, W))."""
+    """Separable (2r+1)^2 box sum with zero padding (x: (..., H, W)).
+
+    Direct shifted adds (rows first, then columns, ascending offset) — the
+    same association order as the Pallas kernel, so costs match bitwise and
+    WTA ties resolve identically."""
     if radius == 0:
         return x
     k = 2 * radius + 1
 
-    # cumulative-sum sliding window along the last two axes
     def slide(a, axis):
         pad = [(0, 0)] * a.ndim
-        pad[axis] = (radius + 1, radius)
-        c = jnp.cumsum(jnp.pad(a, pad), axis=axis)
-        hi = jax.lax.slice_in_dim(c, k, c.shape[axis], axis=axis)
-        lo = jax.lax.slice_in_dim(c, 0, c.shape[axis] - k, axis=axis)
-        return hi - lo
+        pad[axis] = (radius, radius)
+        p = jnp.pad(a, pad)
+        n = a.shape[axis]
+        out = jax.lax.slice_in_dim(p, 0, n, axis=axis)
+        for i in range(1, k):
+            out = out + jax.lax.slice_in_dim(p, i, i + n, axis=axis)
+        return out
 
-    return slide(slide(x, -1), -2)
+    return slide(slide(x, -2), -1)
 
 
 @partial(jax.jit, static_argnums=(1, 2, 3, 4))
@@ -85,12 +106,8 @@ def plane_sweep_depth(
         per_ref_min = jnp.full((v, h, w), _BIG, jnp.float32)
         for (ref, view, dvx, dvy) in pairs:
             # C cast semantics: the reference truncates the *projected
-            # coordinate*, equivalent to truncating the shift toward zero
-            # for integer pixel coords.
-            shift_x = int(_trunc_shift(disp * dvx))
-            shift_y = int(_trunc_shift(bl_ratio * disp * dvy))
-            # want moved[y, x] = view[y - shift_y, x - shift_x]
-            moved = _shift2d(lab[view], shift_x, shift_y, jnp.nan)
+            # coordinate* (clcode.cl:1034) — folded into _shift2d.
+            moved = _shift2d(lab[view], disp * dvx, bl_ratio * disp * dvy)
             sad = jnp.sum(jnp.abs(lab[ref] - moved), axis=-1)
             oob = jnp.isnan(sad)
             sad = jnp.where(oob, _OOB_PENALTY, sad)
@@ -100,13 +117,6 @@ def plane_sweep_depth(
         best_cost = jnp.where(take, per_ref_min, best_cost)
         best_disp = jnp.where(take, jnp.float32(disp), best_disp)
     return best_disp, best_cost
-
-
-def _trunc_shift(x: float) -> int:
-    """Truncate-toward-zero, matching the reference's (int) casts."""
-    import math
-
-    return int(math.trunc(x))
 
 
 def build_pairs(

@@ -161,11 +161,13 @@ def superpixel_cost_volume_dense(
     per hypothesis.  The hypothesis loop is a ``lax.scan`` (one compiled
     body regardless of ladder length).
 
-    Deviation from the exact gather form: folding the truncation into a
-    per-(g, d) shift differs from per-sample truncation only on the single
-    boundary row/column where the fractional shift crosses an integer —
-    asserted WTA agreement in tests.  Returns (V, D, Mh, Mw); views with no
-    valid neighbor hold ``_BIG``.
+    Exactness: the reference truncates the *projected coordinate*
+    ``(int)(x - c)`` (clcode.cl:1034), which for any in-bounds result equals
+    ``x - ceil(c)``, and its bounds check admits ``x - c`` in ``(-1, 0)``
+    (truncates to 0).  Both are reproduced: images are edge-replicate padded
+    (so index ``-1`` reads column/row 0) and validity is an exact float
+    test ``-1 < x - c < size`` applied per sample.  Returns (V, D, Mh, Mw);
+    views with no valid neighbor hold ``_BIG``.
     """
     import numpy as np
 
@@ -197,7 +199,10 @@ def superpixel_cost_volume_dense(
     max_sx = int(np.ceil(max_abs_disp * neib_hor)) + 1
     max_sy = int(np.ceil(bl_ratio * max_abs_disp * neib_ver)) + 1
 
-    # pre-padded, view-rolled image per delta (NaN border -> OOB penalty)
+    # pre-padded, view-rolled image per delta; edge-replicate so index -1
+    # reads row/col 0 (the reference's (int) cast maps (-1, 0) to 0,
+    # clcode.cl:1034,1039) — validity is decided by the float test below,
+    # never by the padding content
     padded = {}
     for g, (gx, gy) in enumerate(deltas):
         dz = gy * ah + gx
@@ -205,7 +210,7 @@ def superpixel_cost_volume_dense(
         padded[g] = jnp.pad(
             nbr,
             ((0, 0), (max_sy, max_sy), (max_sx, max_sx), (0, 0)),
-            constant_values=jnp.nan,
+            mode="edge",
         )
 
     # reference-sample positions (d-independent)
@@ -219,28 +224,36 @@ def superpixel_cost_volume_dense(
         + jnp.clip(yr, 0, h - 1) * w
         + jnp.clip(xr, 0, w - 1)
     ).reshape(-1)
+    xrf = xr.astype(jnp.float32)  # (V, Mh, Mw, 25)
+    yrf = yr.astype(jnp.float32)
+    gxs = jnp.asarray([gx for gx, _ in deltas], jnp.float32)  # (G,)
+    gys = jnp.asarray([gy for _, gy in deltas], jnp.float32)
 
     def per_d(carry, d):
         planes = []
         for g, (gx, gy) in enumerate(deltas):
-            # trunc(xr - c) == xr - ceil(c) for c >= 0 (in-bounds), and
-            # xr - floor(c) for c < 0; the sign of c is static per delta
-            cx_ = d * gx
-            cy_ = bl_ratio * d * gy
-            sx = (jnp.ceil(cx_) if gx >= 0 else jnp.floor(cx_)).astype(jnp.int32)
-            sy = (jnp.ceil(cy_) if gy >= 0 else jnp.floor(cy_)).astype(jnp.int32)
+            # in-bounds trunc(xr - c) == xr - ceil(c) for ALL c (the result
+            # is >= 0, so trunc == floor == xr - ceil(c))
+            sx = jnp.ceil(d * gx).astype(jnp.int32)
+            sy = jnp.ceil(bl_ratio * d * gy).astype(jnp.int32)
             # out[y, x] = nbr[y - sy, x - sx]
             shifted = jax.lax.dynamic_slice(
                 padded[g],
                 (0, max_sy - sy, max_sx - sx, 0),
                 (v, h, w, 3),
             )
-            sad = jnp.sum(jnp.abs(lab - shifted), axis=-1)
-            sad = jnp.where(jnp.isnan(sad), _OOB_PENALTY, sad)
-            planes.append(sad)
+            planes.append(jnp.sum(jnp.abs(lab - shifted), axis=-1))
         table = jnp.stack(planes, axis=-1).reshape(-1, len(deltas))
         g25 = table[flat_ref].reshape(v, mh, mw, 25, len(deltas))
-        acc = jnp.sum(jnp.where(ref_ok[..., None], g25, _OOB_PENALTY), axis=3)
+        # exact projected-coordinate validity: (int)(x - c) lands in
+        # [0, size) iff  -1 < x - c < size  (clcode.cl:1039)
+        cx_ = d * gxs  # (G,)
+        cy_ = bl_ratio * d * gys
+        px = xrf[..., None] - cx_
+        py = yrf[..., None] - cy_
+        proj_ok = (px > -1.0) & (px < w) & (py > -1.0) & (py < h)
+        ok = ref_ok[..., None] & proj_ok  # (V, Mh, Mw, 25, G)
+        acc = jnp.sum(jnp.where(ok, g25, _OOB_PENALTY), axis=3)
         best = jnp.min(jnp.where(valid_j[:, None, None, :], acc, _BIG), axis=-1)
         return carry, best
 

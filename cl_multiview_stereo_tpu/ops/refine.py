@@ -403,6 +403,10 @@ def consistency_from_cache(
 # ---------------------------------------------------------------------------
 
 
+@partial(
+    jax.jit,
+    static_argnames=("gamma", "alpha", "fuse", "bl_ratio", "steps", "step_size"),
+)
 def init_state(
     ctx: RefineContext,
     *,
@@ -460,6 +464,12 @@ def _cross(v1, v2):
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "it", "gamma", "alpha", "fuse", "bl_ratio", "steps", "step_size",
+    ),
+)
 def propagate_iteration(
     ctx: RefineContext,
     state_in: RefineState,
@@ -594,20 +604,17 @@ def refine(
         fuse=schedule.fuse_eff,
         bl_ratio=schedule.bl_ratio,
     )
-    init = partial(
-        init_state,
-        **kw0,
-        steps=schedule.kernel_steps,
-        step_size=schedule.sp_kernel_step,
+    del jit  # stage functions are module-level jits (stable cache keys)
+    state = init_state(
+        ctx, **kw0, steps=schedule.kernel_steps, step_size=schedule.sp_kernel_step
     )
-    state = jax.jit(init)(ctx) if jit else init(ctx)
     for it in range(schedule.no_prop):
-        step_fn = partial(
-            propagate_iteration,
+        state = propagate_iteration(
+            ctx,
+            state,
             it=it,
             **kw0,
             steps=schedule.steps_per_iter[it],
             step_size=schedule.step_size_per_iter[it],
         )
-        state = jax.jit(step_fn)(ctx, state) if jit else step_fn(ctx, state)
     return state
