@@ -69,7 +69,9 @@ class MVSPipeline:
         s = self.settings
         geom = self.geom
         sched = RefinementSchedule.create(s)
-        disp_levels = jnp.asarray(build_disp_levels(s))
+        # static numpy: the ladder parameterizes compile-time shifts, so it
+        # must stay concrete even when run() itself is traced under jit
+        disp_levels = build_disp_levels(s)
         view_subset_np, subset_num_np = build_view_subsets(s)
         view_subset = jnp.asarray(view_subset_np)
         subset_num = jnp.asarray(subset_num_np)

@@ -280,7 +280,7 @@ def initial_depth_estimation(
     lab: jax.Array,
     centers: jax.Array,
     extent: jax.Array,
-    disp_levels: jax.Array,
+    disp_levels,  # concrete (numpy) ladder — parameterizes static shifts
     view_subset: jax.Array,
     subset_num: jax.Array,
     array_width: int,
@@ -291,16 +291,19 @@ def initial_depth_estimation(
 ) -> jax.Array:
     """Full depth init: extent -> adaptive step -> cost volume -> WTA.
 
-    ``method``: ``"gather"`` is the exact per-sample-truncation form;
-    ``"dense"`` the shift-plane TPU formulation (1-px-boundary deviation,
-    ~30x faster at 1080p).  Returns (V, Mh, Mw) float32 initial disparity
-    (the reference's ``spixl_map.s7``).
+    ``method``: ``"gather"`` is the direct per-sample gather form;
+    ``"dense"`` the shift-plane TPU formulation (same exact semantics,
+    ~30x faster at 1080p).  ``disp_levels`` must be concrete (numpy): it
+    sets the static padding bound even when the caller is being traced.
+    Returns (V, Mh, Mw) float32 initial disparity (the reference's
+    ``spixl_map.s7``).
     """
+    import numpy as np
+
+    disp_levels = np.asarray(disp_levels)
     step = extent_step(extent)
     if method == "dense":
-        import numpy as np
-
-        max_abs = float(np.max(np.abs(np.asarray(disp_levels)))) if len(disp_levels) else 0.0
+        max_abs = float(np.max(np.abs(disp_levels))) if len(disp_levels) else 0.0
         vol = superpixel_cost_volume_dense(
             lab, centers, step, jnp.asarray(disp_levels, jnp.float32),
             array_width, bl_ratio, neib_hor, neib_ver, max_abs,

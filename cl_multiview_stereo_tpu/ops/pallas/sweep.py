@@ -32,6 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _PENALTY_PER_CH = 30.0
+_BIG = 1.0e6
 
 
 def _round_up(x: int, m: int) -> int:
@@ -131,7 +132,7 @@ def _sweep_kernel(
     ximg = jax.lax.broadcasted_iota(jnp.int32, (tile_h + 4, w), 1)
     ref_valid = (yimg >= 0) & (yimg < h)
 
-    costvol[...] = jnp.full_like(costvol, jnp.inf)
+    costvol[...] = jnp.full_like(costvol, _BIG)
 
     n_pairs = meta_ref[ref, 0]
     for p in range(max_pairs):
@@ -203,9 +204,11 @@ def _sweep_kernel(
 
             jax.lax.fori_loop(0, d_num, d_body, 0)
 
-    best = costvol[0]
-    bestd = jnp.full((tile_h, w), ladder[0], jnp.float32)
-    for di in range(1, d_num):
+    # WTA with the reference's never-updated defaults (clcode.cl:1014):
+    # a view with no pairs keeps disp 0 and cost 1e6
+    best = jnp.full((tile_h, w), _BIG, jnp.float32)
+    bestd = jnp.zeros((tile_h, w), jnp.float32)
+    for di in range(d_num):
         take = costvol[di] < best
         best = jnp.where(take, costvol[di], best)
         bestd = jnp.where(take, jnp.float32(ladder[di]), bestd)

@@ -11,6 +11,22 @@ from typing import Callable
 import jax
 
 
+def sync(out):
+    """Force real completion of every array in ``out``.
+
+    ``block_until_ready`` alone can return before execution finishes on
+    tunneled platforms; pulling one element of each leaf to the host is a
+    reliable barrier everywhere.
+    """
+    import numpy as np
+
+    out = jax.block_until_ready(out)
+    for leaf in jax.tree_util.tree_leaves(out):
+        if hasattr(leaf, "ravel"):
+            np.asarray(leaf.ravel()[:1])
+    return out
+
+
 def time_fn(fn: Callable, *args, warmup: int = 1, iters: int = 5, **kw):
     """Median wall time of ``fn(*args)`` with device sync, after warmup.
 
@@ -18,11 +34,11 @@ def time_fn(fn: Callable, *args, warmup: int = 1, iters: int = 5, **kw):
     """
     result = None
     for _ in range(warmup):
-        result = jax.block_until_ready(fn(*args, **kw))
+        result = sync(fn(*args, **kw))
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        result = jax.block_until_ready(fn(*args, **kw))
+        result = sync(fn(*args, **kw))
         times.append(time.perf_counter() - t0)
     times.sort()
     return times[len(times) // 2], result

@@ -119,16 +119,19 @@ def test_plane_sweep_dense_recovers_ground_truth():
     assert (inner == 7.0).mean() > 0.95
 
 
-def test_dense_mode_agrees_with_gather(scene):
+@pytest.mark.parametrize("bl_ratio", [1.0, 1.03590])
+def test_dense_mode_agrees_with_gather(scene, bl_ratio):
+    # fractional bl_ratio exercises the projected-coordinate truncation
+    # semantics (ceil shift + the (-1, 0) -> 0 aliasing, clcode.cl:1034)
     s, geom, lab, labels, spmap, _ = scene
     ext = superpixel.superpixel_extent(labels, spmap.center, geom)
     disp_levels = build_disp_levels(s)
     subset, counts = build_view_subsets(s)
-    kw = dict(array_width=s.array_width, bl_ratio=s.bl_ratio)
+    kw = dict(array_width=s.array_width, bl_ratio=bl_ratio)
     exact = np.asarray(cost_volume.initial_depth_estimation(
         lab, spmap.center, ext, disp_levels, subset, counts, **kw, method="gather"))
     dense = np.asarray(cost_volume.initial_depth_estimation(
         lab, spmap.center, ext, disp_levels, subset, counts, **kw, method="dense",
         neib_hor=s.neib_hor, neib_ver=s.neib_ver))
     agree = (exact == dense).mean()
-    assert agree > 0.97, f"dense/gather WTA agreement {agree}"
+    assert agree > 0.999, f"dense/gather WTA agreement {agree}"
