@@ -252,6 +252,85 @@ def update_cluster_centers(
 
 
 @jax.jit
+def compute_edges(lab: jax.Array) -> jax.Array:
+    """Edge magnitude for the optional edge-snap path
+    (``edge_compute_alternative``, clcode.cl:161-195): 3x3 Sobel on Lab with
+    border-replicate neighbor reads, ``edge = sqrt(sum_ch(DX^2 + DY^2))``.
+
+    Two deviations from the committed kernel, both on the intended-semantics
+    side (SURVEY.md Appendix): the committed loop also stores the *center*
+    pixel, overflowing its 8-entry array and shifting the Sobel taps — the
+    commented-out skip-center branch (clcode.cl:179-182) restores the classic
+    Sobel implemented here; and the result goes to a separate edge image, not
+    back into ``cvt_img`` (the clcode.cl:194 aliasing bug).
+
+    ``lab``: (V, H, W, 3).  Returns (V, H, W) float32.
+    """
+    padded = jnp.pad(lab, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    h, w = lab.shape[1:3]
+
+    def at(dx: int, dy: int) -> jax.Array:
+        return jax.lax.dynamic_slice(
+            padded, (0, 1 + dy, 1 + dx, 0), (lab.shape[0], h, w, 3)
+        )
+
+    dxc = (
+        -at(-1, -1) + at(1, -1) - 2.0 * at(-1, 0) + 2.0 * at(1, 0)
+        - at(-1, 1) + at(1, 1)
+    )
+    dyc = (
+        -at(-1, -1) - 2.0 * at(0, -1) - at(1, -1)
+        + at(-1, 1) + 2.0 * at(0, 1) + at(1, 1)
+    )
+    return jnp.sqrt(jnp.sum(dxc * dxc + dyc * dyc, axis=-1))
+
+
+# Ring scan order of ``apply_edge_alternative`` (clcode.cl:215) — identical
+# to the refinement stage's ring (refine._RING).
+_EDGE_RING = ((-1, 0), (-1, -1), (0, -1), (1, -1), (1, 0), (1, 1), (0, 1), (-1, 1))
+
+
+@jax.jit
+def apply_edge_snap(
+    lab: jax.Array, edges: jax.Array, spmap: SuperpixelMap
+) -> SuperpixelMap:
+    """Edge-snap (``apply_edge_alternative``, clcode.cl:204-248): move each
+    cluster center to the strictly-lowest-edge pixel among its 8 neighbors
+    (running strict ``<`` in ring order: the first minimum wins ties) and
+    adopt that pixel's Lab color.
+    """
+    v, h, w = edges.shape
+    cx = spmap.center[..., 0].astype(jnp.int32)
+    cy = spmap.center[..., 1].astype(jnp.int32)
+    vid = jnp.arange(v, dtype=jnp.int32)[:, None, None]
+    cxs = jnp.clip(cx, 0, w - 1)
+    cys = jnp.clip(cy, 0, h - 1)
+    best_edge = edges[vid, cys, cxs]
+    best_x, best_y = cx, cy
+    changed = jnp.zeros(cx.shape, bool)
+    for dx, dy in _EDGE_RING:
+        nx = cx + dx
+        ny = cy + dy
+        inb = (nx >= 0) & (ny >= 0) & (nx < w) & (ny < h)
+        ne = edges[vid, jnp.clip(ny, 0, h - 1), jnp.clip(nx, 0, w - 1)]
+        take = inb & (ne < best_edge)
+        best_edge = jnp.where(take, ne, best_edge)
+        best_x = jnp.where(take, nx, best_x)
+        best_y = jnp.where(take, ny, best_y)
+        changed = changed | take
+    new_color = lab[vid, jnp.clip(best_y, 0, h - 1), jnp.clip(best_x, 0, w - 1)]
+    center = jnp.where(
+        changed[..., None],
+        jnp.stack([best_x, best_y], axis=-1).astype(jnp.float32),
+        spmap.center,
+    )
+    color = jnp.where(changed[..., None], new_color, spmap.color)
+    return SuperpixelMap(
+        center=center, color=color, count=spmap.count, disp=spmap.disp
+    )
+
+
+@jax.jit
 def suppress_local_labels(labels: jax.Array) -> jax.Array:
     """Connectivity vote (clcode.cl:676-711): adopt the last-seen (row-major
     5x5 scan) differing label when >= 16 of 25 neighbors differ.  2-px border
@@ -286,6 +365,8 @@ def segment(
     Returns (labels (V, H, W) int32, SuperpixelMap).
     """
     spmap = init_cluster_centers(lab, geom)
+    if p.edge_enable:
+        spmap = apply_edge_snap(lab, compute_edges(lab), spmap)
     labels = find_center_association(lab, spmap, geom, p)
     for _ in range(p.no_iter):
         spmap = update_cluster_centers(lab, labels, spmap, geom)

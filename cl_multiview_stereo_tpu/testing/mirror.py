@@ -243,6 +243,70 @@ def slic_update(
 
 
 # ---------------------------------------------------------------------------
+# SLIC: edge path — edge_compute_alternative (clcode.cl:161-195, intended
+# skip-center Sobel semantics) + apply_edge_alternative (clcode.cl:204-248)
+# ---------------------------------------------------------------------------
+
+
+def edge_compute(lab: np.ndarray) -> np.ndarray:
+    """Mirror of the *intended* edge kernel for one view: classic 3x3 Sobel
+    over the 8 clamped neighbors (center skipped, the commented branch at
+    clcode.cl:179-182), ``edge = sqrt(sum_ch(DX^2 + DY^2))``."""
+    h, w = lab.shape[:2]
+    out = np.zeros((h, w), np.float32)
+    for y in range(h):
+        for x in range(w):
+            c = {}
+            for yo in (-1, 0, 1):
+                for xo in (-1, 0, 1):
+                    if xo == 0 and yo == 0:
+                        continue
+                    cx = min(max(x + xo, 0), w - 1)
+                    cy = min(max(y + yo, 0), h - 1)
+                    c[(xo, yo)] = lab[cy, cx].astype(np.float64)
+            dx = (
+                -c[(-1, -1)] + c[(1, -1)] - 2 * c[(-1, 0)] + 2 * c[(1, 0)]
+                - c[(-1, 1)] + c[(1, 1)]
+            )
+            dy = (
+                -c[(-1, -1)] - 2 * c[(0, -1)] - c[(1, -1)]
+                + c[(-1, 1)] + 2 * c[(0, 1)] + c[(1, 1)]
+            )
+            out[y, x] = np.sqrt(np.sum(dx * dx + dy * dy))
+    return out
+
+
+# Ring scan order of apply_edge_alternative (clcode.cl:215).
+EDGE_RING = ((-1, 0), (-1, -1), (0, -1), (1, -1), (1, 0), (1, 1), (0, 1), (-1, 1))
+
+
+def apply_edge(
+    lab: np.ndarray, edges: np.ndarray, center: np.ndarray, color: np.ndarray
+):
+    """Mirror of ``apply_edge_alternative`` for one view: snap each center to
+    the strictly-lowest-edge 8-neighbor (running ``<`` in ring order) and
+    adopt its color.  Mutates copies; returns (center, color)."""
+    h, w = edges.shape
+    mh, mw = center.shape[:2]
+    center = center.copy()
+    color = color.copy()
+    for gy in range(mh):
+        for gx in range(mw):
+            cx, cy = int(center[gy, gx, 0]), int(center[gy, gx, 1])
+            edge_val = edges[cy, cx]
+            best = None
+            for dx, dy in EDGE_RING:
+                nx, ny = cx + dx, cy + dy
+                if 0 <= nx < w and 0 <= ny < h and edges[ny, nx] < edge_val:
+                    edge_val = edges[ny, nx]
+                    best = (nx, ny)
+            if best is not None:
+                center[gy, gx] = best
+                color[gy, gx] = lab[best[1], best[0]]
+    return center, color
+
+
+# ---------------------------------------------------------------------------
 # SLIC: supress_local_lable connectivity vote (clcode.cl:676-711)
 # ---------------------------------------------------------------------------
 

@@ -76,6 +76,38 @@ def test_full_segmentation_properties(small_scene):
     assert np.asarray(spmap.count).sum(axis=(1, 2))[0] == h * w
 
 
+def test_edge_compute_matches_mirror(small_scene):
+    s, geom, lab = small_scene
+    got = np.asarray(slic.compute_edges(lab))
+    want = mirror.edge_compute(lab[0])
+    np.testing.assert_allclose(got[0], want, rtol=1e-5, atol=1e-4)
+
+
+def test_edge_snap_matches_mirror(small_scene):
+    s, geom, lab = small_scene
+    spmap = slic.init_cluster_centers(lab, geom)
+    edges = slic.compute_edges(lab)
+    got = slic.apply_edge_snap(lab, edges, spmap)
+    want_c, want_col = mirror.apply_edge(
+        lab[0],
+        np.asarray(edges[0]),
+        np.asarray(spmap.center[0]),
+        np.asarray(spmap.color[0]),
+    )
+    np.testing.assert_allclose(np.asarray(got.center[0]), want_c)
+    np.testing.assert_allclose(np.asarray(got.color[0]), want_col, rtol=1e-6)
+    # snapping must move at least some centers on a textured scene
+    assert np.any(np.asarray(got.center[0]) != np.asarray(spmap.center[0]))
+
+
+def test_segment_with_edge_enable_runs(small_scene):
+    s, geom, lab = small_scene
+    p = SlicParams.create(s.replace(edge_enable=True))
+    labels, spmap = slic.segment(lab, geom, p)
+    assert np.asarray(labels).shape == lab.shape[:3]
+    assert np.asarray(spmap.count).sum(axis=(1, 2))[0] == lab.shape[1] * lab.shape[2]
+
+
 def test_suppress_labels_matches_mirror(small_scene):
     s, geom, lab = small_scene
     p = SlicParams.create(s)
