@@ -51,6 +51,8 @@ def main(argv: list[str] | None = None) -> int:
     run.add_argument("--cross-check", action="store_true",
                      help="enable the cross-view fusion vote (the reference's "
                           "disabled-but-intended path)")
+    run.add_argument("--ply", action="store_true",
+                     help="export the fused point cloud as binary PLY")
 
     args = ap.parse_args(argv)
 
@@ -91,6 +93,17 @@ def main(argv: list[str] | None = None) -> int:
         artifacts.dump_stage_pngs(args.out, "sm", art.state.sm, 0.0, 1.0)
         artifacts.dump_stage_pngs(args.out, "cs", art.state.cs, 0.0, 1.0)
         artifacts.dump_stage_pngs(args.out, "propagate", art.state.d, lo, hi)
+    if args.ply:
+        from cl_multiview_stereo_tpu.io.pointcloud import (
+            disparity_to_points,
+            save_ply,
+        )
+
+        pts, cols = disparity_to_points(
+            np.asarray(art.disp_full), rgb, s.array_width, s.bl_ratio
+        )
+        save_ply(os.path.join(args.out, "fused.ply"), pts, cols)
+        print(f"point cloud: {pts.shape[0]} points")
     if args.checkpoint:
         artifacts.save_checkpoint(
             os.path.join(args.out, "pipeline_state.npz"),
