@@ -47,8 +47,11 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    fwd = pipe.jitted()
+    rgb_dev = jnp.asarray(rgb)
+
     def run():
-        art = pipe.run(rgb)
+        art = fwd(rgb_dev)
         # Force real completion: pull a scalar to the host (on the axon
         # tunnel platform block_until_ready returns before execution ends).
         return float(jnp.sum(art.disp_full.ravel()[:: 4096].sum()))

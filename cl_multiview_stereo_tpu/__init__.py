@@ -11,8 +11,13 @@ fusion — re-architected TPU-first:
   every stage through the host, ``clMVDE/pipeline.cpp``),
 * views are a vmapped/sharded axis instead of a host loop
   (``clMVDE/pipeline.cpp:76``, ``photo_consistency.cpp:133``),
-* hot kernels (SLIC assignment/update, cost volume, propagation) have Pallas
-  TPU implementations next to their ``jnp`` reference implementations,
+* the hot compute paths are shaped by measured TPU cost models: the dense
+  plane-sweep has a Pallas kernel (ops/pallas/sweep.py) that keeps the
+  hypothesis loop in VMEM; SLIC assignment/update are gather-free XLA
+  formulations (parity-selected candidate fields, one-hot block reductions);
+  PatchMatch propagation packs its cross-view lookups into minimal
+  per-point gathers (TPU gathers are per-point-rate-bound) with all move
+  scoring batched,
 * multi-chip scaling goes through ``jax.sharding.Mesh`` + ``shard_map``
   collectives (the reference is single-device).
 

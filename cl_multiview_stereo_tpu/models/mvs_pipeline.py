@@ -103,7 +103,10 @@ class MVSPipeline:
             view_subset,
             s.array_width,
         )
-        state = refine.refine(ctx, sched)
+        # static pair list from the concrete numpy tables (the context's
+        # arrays are tracers when run() itself is being jitted)
+        pairs = refine.pairs_from_subsets(view_subset_np, s.array_width)
+        state = refine.refine(ctx, sched, pairs=pairs)
         disp_full = fusion.fuse_views(
             labels,
             spmap.center,
@@ -124,6 +127,17 @@ class MVSPipeline:
             state=state,
             disp_full=disp_full,
         )
+
+    def jitted(self):
+        """One-jit end-to-end forward: (V, H, W, 3) uint8 -> PipelineArtifacts.
+
+        ``run()`` dispatches each stage's jit separately (convenient for
+        debugging/artifact inspection); this fuses the whole pipeline into a
+        single compiled program — one host->device dispatch per scene and
+        full cross-stage fusion, the device-resident design of SURVEY.md
+        section 7.1.
+        """
+        return jax.jit(self.run)
 
     def run_from_list(self, list_path: str) -> PipelineArtifacts:
         from cl_multiview_stereo_tpu.io.images import load_image_array

@@ -44,17 +44,18 @@ def rasterize_planes(
     plane: ``d(p) = (n . (c - p) + nz * d) / nz`` (cl:1928)."""
     v, h, w = labels.shape
     mh, mw = centers.shape[1:3]
-    mx = labels % mw
-    my = labels // mw
     vid = jnp.arange(v, dtype=jnp.int32)[:, None, None]
-    ctr = centers[vid, my, mx]  # (V, H, W, 2)
-    d = state_d[vid, my, mx]
-    n = state_n[vid, my, mx]
+    flat_sp = (vid * (mh * mw) + labels).reshape(-1)
+    # one packed 6-float gather per pixel (gather cost is per row on TPU)
+    pack = jnp.concatenate(
+        [centers, state_d[..., None], state_n], axis=-1
+    ).reshape(-1, 6)
+    g = pack[flat_sp].reshape(v, h, w, 6)
     px = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)[None].astype(jnp.float32)
     py = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)[None].astype(jnp.float32)
     return (
-        n[..., 0] * (ctr[..., 0] - px) + n[..., 1] * (ctr[..., 1] - py) + n[..., 2] * d
-    ) / n[..., 2]
+        g[..., 3] * (g[..., 0] - px) + g[..., 4] * (g[..., 1] - py) + g[..., 5] * g[..., 2]
+    ) / g[..., 5]
 
 
 @partial(jax.jit, static_argnums=(1, 2))

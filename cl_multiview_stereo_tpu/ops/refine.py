@@ -58,6 +58,9 @@ import jax.numpy as jnp
 
 _MARGIN = 0.01
 _EPS_SM = 0.000001
+# Moves scored together in one batched gather (bounds the (C, V, Mh, Mw,
+# n_views, 9) consistency temporaries to ~C x 100 MB at 1080p x 9 views).
+_SCORE_CHUNK = 4
 
 
 class RefineState(NamedTuple):
@@ -171,36 +174,40 @@ def _rasterize_flat(
 ) -> jax.Array:
     """Rasterize the input state to per-pixel disparity (``spixl_to_image``,
     cl:1906-1931) and pack with the per-pixel superpixel color.
-    Returns (V*H*W, 4)."""
+    Returns (V*H*W, 4).
+
+    One packed 6-float gather per pixel (gathers cost per *row* on TPU, so
+    separate center/d/n lookups would triple the dominant cost)."""
     v, mh, mw = state_d.shape
     h, w = ctx.labels.shape[1:3]
-    mx = ctx.labels % mw
-    my = ctx.labels // mw
     vid = jnp.arange(v, dtype=jnp.int32)[:, None, None]
-    ctr = ctx.center[vid, my, mx]
-    d = state_d[vid, my, mx]
-    n = state_n[vid, my, mx]
+    flat_sp = (vid * (mh * mw) + ctx.labels).reshape(-1)
+    pack = jnp.concatenate(
+        [ctx.center, state_d[..., None], state_n], axis=-1
+    ).reshape(-1, 6)
+    g = pack[flat_sp].reshape(v, h, w, 6)
     px = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)[None].astype(jnp.float32)
     py = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)[None].astype(jnp.float32)
     disp = (
-        n[..., 0] * (ctr[..., 0] - px) + n[..., 1] * (ctr[..., 1] - py) + n[..., 2] * d
-    ) / n[..., 2]
+        g[..., 3] * (g[..., 0] - px) + g[..., 4] * (g[..., 1] - py) + g[..., 5] * g[..., 2]
+    ) / g[..., 5]
     return jnp.concatenate([disp.reshape(-1, 1), ctx.ras_color], axis=-1)
 
 
-def build_cache(
+def build_cell_cache(
     ctx: RefineContext,
     tgt_d: jax.Array,
-    state_n: jax.Array | None,
     *,
     gamma: float,
     steps: int,
     step_size: float,
-) -> IterCache:
-    """Gather every move-independent quantity for one sweep.
+):
+    """The cell-level (superpixel-grid) part of the sweep cache: smoothness
+    tap data + ring-neighbor data.  Split from ``build_cache`` so the
+    spatially-sharded path (parallel/spatial.py) can build it on gathered
+    cell state while keeping the pixel-level rasterization sharded.
 
-    ``tgt_d``/``state_n``: the frozen input state (initial disparities +
-    fronto normals for the init forms).
+    Returns an ``IterCache`` with ``ras`` unset (zeros placeholder).
     """
     v, mh, mw = tgt_d.shape
     center = ctx.center
@@ -260,13 +267,6 @@ def build_cache(
     tap_d = tap[..., 5]
     wn = jnp.sum(tap_sim, axis=-1)
 
-    # rasterized input state for consistency lookups
-    if state_n is None:
-        n_fronto = jnp.zeros(tgt_d.shape + (3,), jnp.float32).at[..., 2].set(1.0)
-        ras = _rasterize_flat(ctx, tgt_d, n_fronto)
-    else:
-        ras = _rasterize_flat(ctx, tgt_d, state_n)
-
     # ring data for the plane-refit moves (first 8 taps ARE the ring
     # positions but in a different order; regather in ring order, cheap)
     rtx = jnp.stack([colg + dx for dx, dy in _RING], axis=-1)
@@ -288,12 +288,38 @@ def build_cache(
         tap_d=tap_d,
         tap_sim=tap_sim,
         wn=wn,
-        ras=ras,
+        ras=jnp.zeros((1, 4), jnp.float32),  # filled by build_cache
         ring_dcx=ring_dcx,
         ring_dcy=ring_dcy,
         ring_d=ring_d,
         ring_ok=jnp.broadcast_to(rok, rpack.shape[:4]),
     )
+
+
+def build_cache(
+    ctx: RefineContext,
+    tgt_d: jax.Array,
+    state_n: jax.Array | None,
+    *,
+    gamma: float,
+    steps: int,
+    step_size: float,
+) -> IterCache:
+    """Gather every move-independent quantity for one sweep: the cell-level
+    tap/ring caches plus the rasterized input state for consistency lookups.
+
+    ``tgt_d``/``state_n``: the frozen input state (initial disparities +
+    fronto normals for the init forms).
+    """
+    cache = build_cell_cache(
+        ctx, tgt_d, gamma=gamma, steps=steps, step_size=step_size
+    )
+    if state_n is None:
+        n_fronto = jnp.zeros(tgt_d.shape + (3,), jnp.float32).at[..., 2].set(1.0)
+        ras = _rasterize_flat(ctx, tgt_d, n_fronto)
+    else:
+        ras = _rasterize_flat(ctx, tgt_d, state_n)
+    return cache._replace(ras=ras)
 
 
 # ---------------------------------------------------------------------------
@@ -321,6 +347,45 @@ def _cl_round(x: jax.Array) -> jax.Array:
     return jnp.where(x >= 0, jnp.floor(x + 0.5), jnp.ceil(x - 0.5))
 
 
+def pairs_from_subsets(view_subset, array_width: int) -> tuple:
+    """Static packed (ref, view, dvx, dvy) pair list from a concrete
+    ``(V, max_n)`` -1-padded subset table, in the reference's enumeration
+    order (pipeline.cpp:130-142).  Pass this through jit boundaries as a
+    static argument — the arrays inside a traced context are tracers."""
+    import numpy as np
+
+    vs = np.asarray(view_subset)
+    pairs = []
+    for z in range(vs.shape[0]):
+        for k in range(vs.shape[1]):
+            if vs[z, k] >= 0:
+                n = int(vs[z, k])
+                pairs.append((
+                    z,
+                    n,
+                    float(n % array_width - z % array_width),
+                    float(n // array_width - z // array_width),
+                ))
+    return tuple(pairs)
+
+
+def pairs_from_context(ctx: RefineContext) -> tuple:
+    """Like ``pairs_from_subsets`` but reads the context's tables — only
+    valid when the context holds concrete arrays (not under tracing)."""
+    import numpy as np
+
+    vs = np.asarray(ctx.view_subset)
+    dv = np.asarray(ctx.dv)
+    pairs = []
+    for z in range(vs.shape[0]):
+        for k in range(vs.shape[1]):
+            if vs[z, k] >= 0:
+                pairs.append(
+                    (z, int(vs[z, k]), float(dv[z, k, 0]), float(dv[z, k, 1]))
+                )
+    return tuple(pairs)
+
+
 def consistency_from_cache(
     ctx: RefineContext,
     cache: IterCache,
@@ -331,14 +396,44 @@ def consistency_from_cache(
     alpha: float,
     fuse: float,
     bl_ratio: float,
+    pairs: tuple,
+    img_hw: tuple[int, int] | None = None,
+    ras_rows=None,
 ) -> jax.Array:
     """cl:1260-1357 / cl:1528-1631: the stored-plane interpolation at the
     projected pixel equals the rasterized input state there, so the whole
-    cross-view chain is one packed gather."""
-    h, w = ctx.labels.shape[1:3]
+    cross-view chain is one packed gather.
+
+    The neighbor-view axis is a *packed static pair list* (``pairs``, from
+    ``pairs_from_context``), not a padded (V, max_n) table: the gather is
+    the per-point-rate-limited cost on TPU (~1e8 points/s regardless of
+    element size), and padding slots would burn half the points on masked
+    work at the reference's 3x3 geometry.  Per-view aggregation sums pairs
+    in subset order with static slices — same floating-point order as the
+    reference's per-thread loop (cl:1312-1348).
+
+    ``img_hw``/``ras_rows``: for the spatially-sharded path
+    (parallel/spatial.py) — ``cache.ras`` then holds only pixel rows
+    ``[row_lo, row_lo + rows_ext)`` of each view (a halo-extended block) and
+    projections outside that window count as out-of-frame.
+    """
+    import numpy as np
+
+    h, w = img_hw if img_hw is not None else ctx.labels.shape[1:3]
     v = d0.shape[0]
     center = ctx.center
-    max_n = ctx.view_subset.shape[1]
+    out_shape = d0.shape
+
+    if len(pairs) == 0:
+        return jnp.full(out_shape, _MARGIN, jnp.float32)
+
+    refs = np.asarray([p[0] for p in pairs], np.int32)
+    nbrs = jnp.asarray([p[1] for p in pairs], jnp.int32)
+    dvx = jnp.asarray([p[2] for p in pairs], jnp.float32)[:, None, None, None]
+    dvy = jnp.asarray([p[3] for p in pairs], jnp.float32)[:, None, None, None]
+    bounds = np.searchsorted(refs, np.arange(v + 1))
+    refs_j = jnp.asarray(refs)
+    take = lambda a: jnp.take(a, refs_j, axis=0)
 
     cx_i = center[..., 0].astype(jnp.int32)[..., None]
     cy_i = center[..., 1].astype(jnp.int32)[..., None]
@@ -352,45 +447,63 @@ def consistency_from_cache(
         + nz * d0[..., None]
     ) / nz  # (V, Mh, Mw, 9)
 
-    # slot axis: (V, 1, 1, max_n, 1)
-    view = jnp.clip(ctx.view_subset, 0, v - 1)[:, None, None, :, None]
-    slot_ok = (ctx.view_subset >= 0)[:, None, None, :, None]
-    dvx = ctx.dv[..., 0][:, None, None, :, None]
-    dvy = ctx.dv[..., 1][:, None, None, :, None]
-
-    di = d_intrp[..., None, :]  # (V, Mh, Mw, 1, 9)
-    xp = sx[..., None, :] - _cl_round(di * dvx).astype(jnp.int32)
-    yp = sy[..., None, :] - _cl_round(bl_ratio * di * dvy).astype(jnp.int32)
+    # pair axis: (P, Mh, Mw, 9)
+    sxp = take(sx)
+    syp = take(sy)
+    dip = take(d_intrp)
+    xp = sxp - _cl_round(dip * dvx).astype(jnp.int32)
+    yp = syp - _cl_round(bl_ratio * dip * dvy).astype(jnp.int32)
     inb = (xp >= 0) & (yp >= 0) & (xp < w) & (yp < h)
 
-    flat = (
-        view * (h * w) + jnp.clip(yp, 0, h - 1) * w + jnp.clip(xp, 0, w - 1)
-    )  # (V, Mh, Mw, max_n, 9)
+    viewb = nbrs[:, None, None, None]
+    if ras_rows is None:
+        flat = (
+            viewb * (h * w) + jnp.clip(yp, 0, h - 1) * w + jnp.clip(xp, 0, w - 1)
+        )  # (P, Mh, Mw, 9)
+    else:
+        row_lo, rows_ext = ras_rows
+        inb = inb & (yp >= row_lo) & (yp < row_lo + rows_ext)
+        yloc = jnp.clip(yp - row_lo, 0, rows_ext - 1)
+        flat = viewb * (rows_ext * w) + yloc * w + jnp.clip(xp, 0, w - 1)
     g = cache.ras[flat.reshape(-1)].reshape(flat.shape + (4,))
 
-    diff = g[..., 0] - di
+    diff = g[..., 0] - dip
     when_visible = (jnp.abs(diff) < fuse).astype(jnp.float32)
     inbf = inb.astype(jnp.float32)
     visible = jnp.sum(inbf * when_visible * jnp.exp(-diff * diff * alpha), axis=-1)
     visib_sum = jnp.sum(inbf * when_visible, axis=-1)
     occl_sum = jnp.sum(inbf * (1.0 - when_visible), axis=-1)
-    cdiff = jnp.sum((g[..., 1:4] - ctx.color[..., None, None, :]) ** 2, axis=-1)
+    cdiff = jnp.sum((g[..., 1:4] - take(ctx.color)[..., None, :]) ** 2, axis=-1)
     visibility = jnp.sum(inbf * jnp.exp(-cdiff * gamma), axis=-1)
-    num = jnp.sum(inbf, axis=-1)  # (V, Mh, Mw, max_n)
+    num = jnp.sum(inbf, axis=-1)  # (P, Mh, Mw)
 
-    has = (num > 0) & slot_ok[..., 0]
     contrib = jnp.where(
-        (visib_sum > 0) & has,
+        visib_sum > 0,
         (visib_sum / jnp.maximum(num, 1.0))
         * (visibility / jnp.maximum(visib_sum, 1e-30))
         * (visible / jnp.maximum(visib_sum, 1e-30)),
         0.0,
     )
-    contrib = contrib + jnp.where(
-        (occl_sum > 0) & has, 0.5 * ctx.fl[..., 1:2], 0.0
-    )
-    consistency = jnp.sum(contrib, axis=-1)
-    view_counter = jnp.sum(has.astype(jnp.float32), axis=-1)
+    contrib = contrib + jnp.where(occl_sum > 0, 0.5 * take(ctx.fl[..., 1]), 0.0)
+    has = (num > 0).astype(jnp.float32)
+
+    # per-view aggregation in subset order (static slices, sequential adds)
+    cons_rows, cnt_rows = [], []
+    zero = jnp.zeros(out_shape[1:], jnp.float32)
+    for z in range(v):
+        lo, hi = int(bounds[z]), int(bounds[z + 1])
+        if lo == hi:
+            cons_rows.append(zero)
+            cnt_rows.append(zero)
+            continue
+        acc, cnt = contrib[lo], has[lo]
+        for p in range(lo + 1, hi):
+            acc = acc + contrib[p]
+            cnt = cnt + has[p]
+        cons_rows.append(acc)
+        cnt_rows.append(cnt)
+    consistency = jnp.stack(cons_rows)
+    view_counter = jnp.stack(cnt_rows)
     return jnp.where(
         view_counter > 0,
         jnp.maximum(_MARGIN, consistency / jnp.maximum(view_counter, 1.0)),
@@ -403,11 +516,29 @@ def consistency_from_cache(
 # ---------------------------------------------------------------------------
 
 
+def init_state(
+    ctx: RefineContext,
+    *,
+    pairs: tuple | None = None,
+    **kw,
+) -> RefineState:
+    """``init_current_state``: score the initial fronto-parallel planes.
+
+    ``pairs`` (static) defaults to the context's subset tables — the context
+    must then hold concrete arrays (pass ``pairs`` explicitly when tracing).
+    """
+    if pairs is None:
+        pairs = pairs_from_context(ctx)
+    return _init_state(ctx, pairs=pairs, **kw)
+
+
 @partial(
     jax.jit,
-    static_argnames=("gamma", "alpha", "fuse", "bl_ratio", "steps", "step_size"),
+    static_argnames=(
+        "gamma", "alpha", "fuse", "bl_ratio", "steps", "step_size", "pairs",
+    ),
 )
-def init_state(
+def _init_state(
     ctx: RefineContext,
     *,
     gamma: float,
@@ -416,8 +547,8 @@ def init_state(
     bl_ratio: float,
     steps: int,
     step_size: float,
+    pairs: tuple,
 ) -> RefineState:
-    """``init_current_state``: score the initial fronto-parallel planes."""
     d0 = ctx.disp0
     n0 = jnp.zeros(d0.shape + (3,), jnp.float32).at[..., 2].set(1.0)
     cache = build_cache(
@@ -425,7 +556,8 @@ def init_state(
     )
     sm = smoothness_from_cache(cache, d0, n0, alpha=alpha)
     cs = consistency_from_cache(
-        ctx, cache, d0, n0, gamma=gamma, alpha=alpha, fuse=fuse, bl_ratio=bl_ratio
+        ctx, cache, d0, n0, gamma=gamma, alpha=alpha, fuse=fuse,
+        bl_ratio=bl_ratio, pairs=pairs,
     )
     return RefineState(d=d0, sm=sm, cs=cs, n=n0)
 
@@ -464,37 +596,18 @@ def _cross(v1, v2):
     )
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "it", "gamma", "alpha", "fuse", "bl_ratio", "steps", "step_size",
-    ),
-)
-def propagate_iteration(
-    ctx: RefineContext,
-    state_in: RefineState,
-    it: int,
-    *,
-    gamma: float,
-    alpha: float,
-    fuse: float,
-    bl_ratio: float,
-    steps: int,
-    step_size: float,
-) -> RefineState:
-    """One Jacobi sweep: every superpixel walks the move table, rescoring
-    candidate planes against the *input* state (ping-pong semantics of
-    depth_refinement.cpp:744-753)."""
+def gather_update_moves(
+    ctx: RefineContext, state_in: RefineState, offs, gamma: float
+):
+    """Pre-gather the ``update``-move candidate planes (cl:1649): each
+    offset's neighbor plane extrapolated to the home center, plus the
+    color-similarity factor and validity.  Input-state-only, so one packed
+    gather serves the whole move chain.
+
+    Returns (d_adopt, n1x, n1y, n1z, sim, ok), each (V, Mh, Mw, M).
+    """
     v, mh, mw = state_in.d.shape
     center = ctx.center
-    greedy = it < 4  # cl:1663 / cl:1713
-
-    cache = build_cache(
-        ctx, state_in.d, state_in.n, gamma=gamma, steps=steps, step_size=step_size
-    )
-
-    # ---- pre-gather update-move candidates (input-state-only) -------------
-    offs = _update_move_offsets(steps, step_size, mw, mh)
     m = len(offs)
     colg = jax.lax.broadcasted_iota(jnp.int32, (mh, mw), 1)[None]
     rowg = jax.lax.broadcasted_iota(jnp.int32, (mh, mw), 0)[None]
@@ -521,15 +634,105 @@ def propagate_iteration(
     sim_m = jnp.exp(
         -jnp.sum((ctx.color[..., None, :] - nb[..., 2:5]) ** 2, axis=-1) * gamma
     )
+    return d_adopt, n1x, n1y, n1z, sim_m, ok_m
 
-    score_kw = dict(gamma=gamma, alpha=alpha, fuse=fuse, bl_ratio=bl_ratio)
+
+def propagate_iteration(
+    ctx: RefineContext,
+    state_in: RefineState,
+    it: int,
+    *,
+    pairs: tuple | None = None,
+    **kw,
+) -> RefineState:
+    """One Jacobi sweep: every superpixel walks the move table, rescoring
+    candidate planes against the *input* state (ping-pong semantics of
+    depth_refinement.cpp:744-753).
+
+    ``pairs`` (static) defaults to the context's subset tables — pass it
+    explicitly when the context is being traced.
+    """
+    if pairs is None:
+        pairs = pairs_from_context(ctx)
+    return _propagate_iteration(ctx, state_in, it, pairs=pairs, **kw)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "it", "gamma", "alpha", "fuse", "bl_ratio", "steps", "step_size",
+        "pairs",
+    ),
+)
+def _propagate_iteration(
+    ctx: RefineContext,
+    state_in: RefineState,
+    it: int,
+    *,
+    gamma: float,
+    alpha: float,
+    fuse: float,
+    bl_ratio: float,
+    steps: int,
+    step_size: float,
+    pairs: tuple,
+) -> RefineState:
+    v, mh, mw = state_in.d.shape
+    center = ctx.center
+    greedy = it < 4  # cl:1663 / cl:1713
+
+    cache = build_cache(
+        ctx, state_in.d, state_in.n, gamma=gamma, steps=steps, step_size=step_size
+    )
+
+    # ---- pre-gather update-move candidates (input-state-only) -------------
+    offs = _update_move_offsets(steps, step_size, mw, mh)
+    d_adopt, n1x, n1y, n1z, sim_m, ok_m = gather_update_moves(
+        ctx, state_in, offs, gamma
+    )
+
+    score_kw = dict(
+        gamma=gamma, alpha=alpha, fuse=fuse, bl_ratio=bl_ratio, pairs=pairs
+    )
+
+    # Key scheduling fact: every candidate's (sm1, cs1) depends only on the
+    # candidate plane and the frozen input state — NOT on the accept chain.
+    # Score all moves in parallel (chunked so the (C, V, Mh, Mw, n, 9)
+    # consistency temporaries stay bounded), then run the cheap sequential
+    # acceptance chain (cl:1779-1891) over the precomputed scores.
+    def _score_batch(d_c, n_c):
+        """d_c: (M, V, Mh, Mw); n_c: (M, V, Mh, Mw, 3) -> (sm1, cs1)."""
+        m = d_c.shape[0]
+        chunk = _SCORE_CHUNK
+        pad = (-m) % chunk
+        if pad:
+            d_c = jnp.concatenate([d_c, d_c[:pad]], axis=0)
+            n_c = jnp.concatenate([n_c, n_c[:pad]], axis=0)
+        dcs = d_c.reshape((-1, chunk) + d_c.shape[1:])
+        ncs = n_c.reshape((-1, chunk) + n_c.shape[1:])
+
+        def body(_, xs):
+            dci, nci = xs
+            sm1 = jax.vmap(
+                lambda d, n: smoothness_from_cache(cache, d, n, alpha=alpha)
+            )(dci, nci)
+            cs1 = jax.vmap(
+                lambda d, n: consistency_from_cache(ctx, cache, d, n, **score_kw)
+            )(dci, nci)
+            return 0, (sm1, cs1)
+
+        _, (sm1, cs1) = jax.lax.scan(body, 0, (dcs, ncs))
+        sm1 = sm1.reshape((-1,) + d_c.shape[1:])[:m]
+        cs1 = cs1.reshape((-1,) + d_c.shape[1:])[:m]
+        return sm1, cs1
+
+    mv = lambda a: jnp.moveaxis(a, -1, 0)  # move axis leads
+    n_c_upd = jnp.stack([mv(n1x), mv(n1y), mv(n1z)], axis=-1)  # (M, V, Mh, Mw, 3)
+    sm1_upd, cs1_upd = _score_batch(mv(d_adopt), n_c_upd)
 
     def update_body(carry, xs):
         d0, sm0, cs0, n0x, n0y, n0z = carry
-        d_c, n_cx, n_cy, n_cz, sim, valid = xs
-        n_c = jnp.stack([n_cx, n_cy, n_cz], axis=-1)
-        sm1 = smoothness_from_cache(cache, d_c, n_c, alpha=alpha)
-        cs1 = consistency_from_cache(ctx, cache, d_c, n_c, **score_kw)
+        d_c, n_cx, n_cy, n_cz, sim, valid, sm1, cs1 = xs
         accept = valid & (
             (greedy & (sm1 * sim > sm0)) | (cs1 * sm1 > sm0 * cs0)
         )
@@ -542,7 +745,6 @@ def propagate_iteration(
             jnp.where(accept, n_cz, n0z),
         ), None
 
-    mv = lambda a: jnp.moveaxis(a, -1, 0)  # move axis leads for scan
     xs = (
         mv(d_adopt),
         mv(n1x),
@@ -550,6 +752,8 @@ def propagate_iteration(
         mv(n1z),
         mv(sim_m),
         mv(ok_m),
+        sm1_upd,
+        cs1_upd,
     )
     carry = (
         state_in.d,
@@ -561,20 +765,34 @@ def propagate_iteration(
     )
     carry, _ = jax.lax.scan(update_body, carry, xs)
 
-    # ---- spatial refinement moves (depend on the evolving d0) -------------
-    def refine_body(carry, r):
-        d0, sm0, cs0, n0x, n0y, n0z = carry
+    # ---- spatial refinement moves --------------------------------------
+    # d0 is frozen after the update phase (refinement re-fits only the
+    # normal, cl:1699-1713), so all 8 candidate normals and their scores
+    # are computable in parallel too.
+    d0_fix = carry[0]
+
+    def make_refit(r):
         r2 = (r + 1) % 8
         take = lambda a: jnp.take(a, r, axis=-1)
         take2 = lambda a: jnp.take(a, r2, axis=-1)
-        v1 = (take(cache.ring_dcx), take(cache.ring_dcy), take(cache.ring_d) - d0)
-        v2 = (take2(cache.ring_dcx), take2(cache.ring_dcy), take2(cache.ring_d) - d0)
+        v1 = (take(cache.ring_dcx), take(cache.ring_dcy), take(cache.ring_d) - d0_fix)
+        v2 = (take2(cache.ring_dcx), take2(cache.ring_dcy), take2(cache.ring_d) - d0_fix)
         cx_, cy_, cz_ = _cross(v1, v2)
         norm = jnp.sqrt(cx_ * cx_ + cy_ * cy_ + cz_ * cz_)
         n_c = jnp.stack([cx_ / norm, cy_ / norm, cz_ / norm], axis=-1)
-        sm1 = smoothness_from_cache(cache, d0, n_c, alpha=alpha)
-        cs1 = consistency_from_cache(ctx, cache, d0, n_c, **score_kw)
         valid = take(cache.ring_ok) & take2(cache.ring_ok)
+        return n_c, valid
+
+    refits = [make_refit(r) for r in range(8)]
+    n_c_ref = jnp.stack([n for n, _ in refits], axis=0)  # (8, V, Mh, Mw, 3)
+    ok_ref = jnp.stack([v for _, v in refits], axis=0)
+    sm1_ref, cs1_ref = _score_batch(
+        jnp.broadcast_to(d0_fix[None], (8,) + d0_fix.shape), n_c_ref
+    )
+
+    def refine_body(carry, xs):
+        d0, sm0, cs0, n0x, n0y, n0z = carry
+        n_c, valid, sm1, cs1 = xs
         accept = valid & ((greedy & (sm1 > sm0)) | (sm1 * cs1 > sm0 * cs0))
         return (
             d0,
@@ -585,7 +803,7 @@ def propagate_iteration(
             jnp.where(accept, n_c[..., 2], n0z),
         ), None
 
-    carry, _ = jax.lax.scan(refine_body, carry, jnp.arange(8))
+    carry, _ = jax.lax.scan(refine_body, carry, (n_c_ref, ok_ref, sm1_ref, cs1_ref))
     d0, sm0, cs0, n0x, n0y, n0z = carry
     return RefineState(d=d0, sm=sm0, cs=cs0, n=jnp.stack([n0x, n0y, n0z], axis=-1))
 
@@ -594,15 +812,19 @@ def refine(
     ctx: RefineContext,
     schedule,
     *,
+    pairs: tuple | None = None,
     jit: bool = True,
 ) -> RefineState:
     """Full refinement: init state, then ``no_prop`` Jacobi sweeps with
     decaying reach (depth_refinement.cpp:105-106, 767-769)."""
+    if pairs is None:
+        pairs = pairs_from_context(ctx)
     kw0 = dict(
         gamma=schedule.gamma_eff,
         alpha=schedule.alpha_eff,
         fuse=schedule.fuse_eff,
         bl_ratio=schedule.bl_ratio,
+        pairs=pairs,
     )
     del jit  # stage functions are module-level jits (stable cache keys)
     state = init_state(

@@ -14,3 +14,12 @@ from cl_multiview_stereo_tpu.parallel.mesh import (
     view_sharding,
     replicated,
 )
+from cl_multiview_stereo_tpu.parallel.distributed import (
+    initialize_distributed,
+    make_host_view_mesh,
+)
+from cl_multiview_stereo_tpu.parallel.spatial import (
+    disp_sharded_depth_init,
+    halo_exchange_rows,
+    spatial_plane_sweep,
+)
