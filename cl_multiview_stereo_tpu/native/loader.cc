@@ -12,8 +12,12 @@
 #include <png.h>
 
 #include <atomic>
+#include <condition_variable>
 #include <cstdio>
 #include <cstring>
+#include <deque>
+#include <mutex>
+#include <string>
 #include <thread>
 #include <vector>
 
@@ -205,6 +209,132 @@ int mvs_load_batch(const char** paths, int n, unsigned char* out, int h, int w,
   for (auto& th : pool) th.join();
   int bad = failed.load();
   return bad >= 0 ? 100 + bad : 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Scene prefetcher: a background pipeline executor that decodes whole camera
+// arrays ahead of consumption, so host-side IO overlaps accelerator compute.
+// The reference runtime loads images synchronously up front on the main
+// thread (clMVDE/pipeline.cpp:12 + file_handler.cpp:30-57); this is its
+// TPU-framework equivalent for multi-scene streaming workloads.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct ReadyScene {
+  int idx;
+  int rc;  // 0 ok, else (100 + failing image index)
+  std::vector<unsigned char> buf;
+};
+
+int decode_scene(const std::vector<std::string>& paths, unsigned char* out,
+                 int h, int w, int threads) {
+  std::atomic<int> next(0);
+  std::atomic<int> failed(-1);
+  int n = (int)paths.size();
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n || failed.load() >= 0) return;
+      unsigned char* dst = out + (size_t)i * h * w * 3;
+      if (decode_one(paths[i].c_str(), dst, h, w) != 0) {
+        int expect = -1;
+        failed.compare_exchange_strong(expect, i);
+        return;
+      }
+    }
+  };
+  std::vector<std::thread> pool;
+  int nt = threads < n ? threads : n;
+  if (nt < 1) nt = 1;
+  pool.reserve(nt);
+  for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+  int bad = failed.load();
+  return bad >= 0 ? 100 + bad : 0;
+}
+
+struct Prefetcher {
+  std::vector<std::vector<std::string>> scenes;
+  int h = 0, w = 0, threads = 1, depth = 2;
+  std::mutex mu;
+  std::condition_variable cv_prod, cv_cons;
+  std::deque<ReadyScene> ready;
+  int produced = 0;
+  bool stop = false;
+  std::thread producer;
+
+  void run() {
+    for (int s = 0; s < (int)scenes.size(); ++s) {
+      ReadyScene r;
+      r.idx = s;
+      r.buf.resize((size_t)scenes[s].size() * h * w * 3);
+      r.rc = decode_scene(scenes[s], r.buf.data(), h, w, threads);
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_prod.wait(lk, [&] { return stop || (int)ready.size() < depth; });
+        if (stop) return;
+        ready.push_back(std::move(r));
+        ++produced;
+      }
+      cv_cons.notify_one();
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Create a prefetcher over n_scenes scenes; scene s spans paths
+// [offsets[s], offsets[s+1]) in the flat path list.  queue_depth scenes are
+// decoded ahead.  All images must be h x w.
+void* mvs_prefetcher_create(const char** paths, const int* offsets,
+                            int n_scenes, int h, int w, int queue_depth,
+                            int threads) {
+  auto* p = new Prefetcher();
+  p->h = h;
+  p->w = w;
+  p->threads = threads < 1 ? 1 : threads;
+  p->depth = queue_depth < 1 ? 1 : queue_depth;
+  p->scenes.resize(n_scenes);
+  for (int s = 0; s < n_scenes; ++s)
+    for (int i = offsets[s]; i < offsets[s + 1]; ++i)
+      p->scenes[s].emplace_back(paths[i]);
+  p->producer = std::thread([p] { p->run(); });
+  return p;
+}
+
+// Blocks until the next scene (in order) is decoded, copies it into out
+// ((V, h, w, 3) RGB8).  Returns the scene index, -1 when all scenes are
+// consumed, or -(100 + image index) - 1 on decode failure.
+int mvs_prefetcher_next(void* handle, unsigned char* out) {
+  auto* p = static_cast<Prefetcher*>(handle);
+  ReadyScene r;
+  {
+    std::unique_lock<std::mutex> lk(p->mu);
+    if (p->ready.empty() && p->produced >= (int)p->scenes.size()) return -1;
+    p->cv_cons.wait(lk, [&] { return !p->ready.empty(); });
+    r = std::move(p->ready.front());
+    p->ready.pop_front();
+  }
+  p->cv_prod.notify_one();
+  if (r.rc != 0) return -r.rc - 1;
+  std::memcpy(out, r.buf.data(), r.buf.size());
+  return r.idx;
+}
+
+void mvs_prefetcher_destroy(void* handle) {
+  auto* p = static_cast<Prefetcher*>(handle);
+  {
+    std::lock_guard<std::mutex> lk(p->mu);
+    p->stop = true;
+  }
+  p->cv_prod.notify_all();
+  if (p->producer.joinable()) p->producer.join();
+  delete p;
 }
 
 }  // extern "C"
