@@ -783,3 +783,63 @@ def rasterize_planes(labels, center, state_d, state_n):
                 d = state_d[z, my, mx]
                 out[z, y, x] = (nx * (cx - x) + ny * (cy - y) + nz * d) / nz
     return out
+
+
+def project_to_reference_inv(disp_full, array_width, bl_ratio):
+    """Mirror of ``project_to_reference_inv`` (clcode.cl:1995-2034): per
+    reference pixel, probe every other view at the disparity-shifted
+    location with the *evolving* maximum, in view-index order."""
+    v, h, w = disp_full.shape
+    out = np.empty_like(disp_full)
+    for ref in range(v):
+        rx, ry = ref % array_width, ref // array_width
+        for y in range(h):
+            for x in range(w):
+                min_disp = disp_full[ref, y, x]
+                for i in range(v):
+                    if i == ref:
+                        continue
+                    cx, cy = i % array_width, i // array_width
+                    xp = int(x - cl_round(min_disp * (rx - cx)))
+                    yp = int(y - cl_round(bl_ratio * min_disp * (ry - cy)))
+                    if 0 <= xp < w and 0 <= yp < h:
+                        cur = disp_full[i, yp, xp]
+                        if min_disp < cur:
+                            min_disp = cur
+                out[ref, y, x] = min_disp
+    return out
+
+
+def remove_view_inconsistency(disp_proj, disp_full, array_width, bl_ratio, fuse):
+    """Mirror of ``remove_view_inconsistency`` (clcode.cl:2037-2101): the
+    cross-view stability vote, largest stable disparity wins."""
+    v, h, w = disp_proj.shape
+    out = np.zeros_like(disp_proj)
+    for ref in range(v):
+        rx, ry = ref % array_width, ref // array_width
+        for y in range(h):
+            for x in range(w):
+                d_est = 0.0
+                for i in range(v):
+                    d = disp_proj[i, y, x]
+                    if d == 0:
+                        continue
+                    stability = 0.0
+                    for j in range(v):
+                        d_check = disp_proj[j, y, x]
+                        if d_check != 0:
+                            stability += 1.0 if abs(d_check - d) <= fuse else -1.0
+                    for j in range(v):
+                        cx, cy = j % array_width, j // array_width
+                        xj = int(x - cl_round(d * (cx - rx)))
+                        yj = int(y - cl_round(bl_ratio * d * (cy - ry)))
+                        if 0 <= xj < w and 0 <= yj < h:
+                            diff = abs(disp_full[j, yj, xj] - d)
+                            if diff > fuse:
+                                stability -= 1.0
+                            elif diff < fuse:
+                                stability += 1.0
+                    if stability >= 0 and (d_est == 0 or d_est < d):
+                        d_est = d
+                out[ref, y, x] = d_est
+    return out
