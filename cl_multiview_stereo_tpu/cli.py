@@ -88,6 +88,14 @@ def main(argv: list[str] | None = None) -> int:
             np.asarray(art.disp_full[view]), lo, hi,
         )
     if args.dump_stages:
+        from cl_multiview_stereo_tpu.io.images import draw_segmentation_lines, save_png
+
+        overlay = draw_segmentation_lines(rgb, np.asarray(art.labels))
+        for view in range(v):
+            save_png(
+                os.path.join(args.out, "0- segmentation", f"seg_{view}.png"),
+                overlay[view],
+            )
         artifacts.dump_stage_pngs(args.out, "disp_init", art.disp_init, lo, hi)
         artifacts.dump_stage_pngs(args.out, "flatness", art.flatness[..., 0], 0.0, 1.0)
         artifacts.dump_stage_pngs(args.out, "sm", art.state.sm, 0.0, 1.0)

@@ -58,6 +58,45 @@ def load_image_array(list_path: str, view_num: int | None = None) -> np.ndarray:
     return np.stack(imgs, axis=0)
 
 
+def draw_segmentation_lines(rgb: np.ndarray, labels: np.ndarray) -> np.ndarray:
+    """Superpixel boundary overlay (``clSLIC::draw_segmentation_lines``,
+    clSLIC.cpp:447-478): interior pixels whose label differs from any
+    4-neighbor turn red (the reference writes BGR (0,0,255)).  The 1-px
+    border, which the reference leaves uninitialized in its output buffer,
+    passes the input through — the only defined choice.
+
+    ``rgb``: (H, W, 3) or (V, H, W, 3) uint8; ``labels`` matching (H, W) /
+    (V, H, W).  Returns the overlay, vectorized.
+    """
+    rgb = np.asarray(rgb)
+    labels = np.asarray(labels)
+    if rgb.ndim == 3:
+        rgb, labels = rgb[None], labels[None]
+        squeeze = True
+    else:
+        squeeze = False
+    out = rgb.copy()
+    c = labels[:, 1:-1, 1:-1]
+    edge = (
+        (c != labels[:, 1:-1, 2:])
+        | (c != labels[:, 1:-1, :-2])
+        | (c != labels[:, :-2, 1:-1])
+        | (c != labels[:, 2:, 1:-1])
+    )
+    interior = out[:, 1:-1, 1:-1]
+    interior[edge] = (255, 0, 0)  # red in RGB == the reference's BGR 0,0,255
+    out[:, 1:-1, 1:-1] = interior
+    return out[0] if squeeze else out
+
+
+def save_png(path: str, img: np.ndarray) -> None:
+    """Write an (H, W, 3) uint8 RGB image."""
+    from PIL import Image
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    Image.fromarray(np.asarray(img, dtype=np.uint8)).save(path)
+
+
 def save_gray_png(path: str, img: np.ndarray, lo: float, hi: float) -> None:
     """Normalized grayscale dump, the reference's per-stage debug artifact
     (e.g. ``img_translate`` photo_consistency.cpp:414-438)."""

@@ -33,6 +33,24 @@ def test_disparity_to_points_drops_rejected():
     assert view1[:, 0].min() == -5.0
 
 
+def test_draw_segmentation_lines():
+    from cl_multiview_stereo_tpu.io.images import draw_segmentation_lines
+
+    rgb = np.full((6, 8, 3), 7, np.uint8)
+    labels = np.zeros((6, 8), np.int64)
+    labels[:, 4:] = 1  # vertical boundary between cols 3 and 4
+    out = draw_segmentation_lines(rgb, labels)
+    # interior pixels adjacent to the label change turn red
+    assert (out[1:-1, 3] == (255, 0, 0)).all()
+    assert (out[1:-1, 4] == (255, 0, 0)).all()
+    # pixels away from the boundary and the 1-px border pass through
+    assert (out[1:-1, 1] == 7).all()
+    assert (out[0] == 7).all() and (out[:, 0] == 7).all()
+    # batched form
+    out_b = draw_segmentation_lines(rgb[None], labels[None])
+    np.testing.assert_array_equal(out_b[0], out)
+
+
 def test_validate_stage_catches_nan():
     from cl_multiview_stereo_tpu.utils.debug import validate_stage
 
