@@ -111,6 +111,20 @@ def test_spatial_tile_sweep_matches_unsharded(scene):
     )
 
 
+def test_spatial_tile_sweep_nonunit_bl_ratio(scene):
+    """Non-unit bl_ratio exercises fractional vertical shifts in the halo."""
+    s, geom, lab = scene
+    ladder = tuple(float(d) for d in build_disp_levels(s))
+    view_subset, subset_num = build_view_subsets(s)
+    pairs = build_pairs(view_subset, subset_num, s.array_width)
+
+    want_d, _ = plane_sweep_depth(lab, ladder, pairs, 1.0359)
+    devs = np.asarray(jax.devices("cpu")[:2]).reshape(2)
+    mesh = Mesh(devs, ("tile",))
+    got_d, _ = spatial.spatial_plane_sweep(lab, ladder, pairs, 1.0359, mesh)
+    np.testing.assert_array_equal(np.asarray(got_d), np.asarray(want_d))
+
+
 def test_spatial_refine_matches_unsharded(scene):
     from cl_multiview_stereo_tpu.config import RefinementSchedule
     from cl_multiview_stereo_tpu.ops import refine
