@@ -280,7 +280,7 @@ def plane_sweep_pallas(
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(v, g["n_tiles"]),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=[
                 pl.BlockSpec((1, tile_h, w), lambda r, i, *_: (r, i, 0)),
                 pl.BlockSpec((1, tile_h, w), lambda r, i, *_: (r, i, 0)),
