@@ -93,6 +93,11 @@ class MVSPipeline:
             neib_ver=s.neib_ver,
         )
         flatness = refine.compute_flatness(spmap.color, sched.gamma_eff)
+        # SLIC label-locality bound for the gather-free per-pixel lookups:
+        # assignment confines labels to the 3x3 cell window (radius 1); each
+        # suppress_local_labels pass (x2 when enforce_connectivity) can pull
+        # a label from one cell further (fusion.select_cell_lookup)
+        label_radius = 1 + (2 if s.enforce_connectivity else 0)
         ctx = refine.make_context(
             spmap.center,
             spmap.color,
@@ -102,11 +107,16 @@ class MVSPipeline:
             flatness,
             view_subset,
             s.array_width,
+            spixl_size=s.spixl_size,
+            label_radius=label_radius,
         )
         # static pair list from the concrete numpy tables (the context's
         # arrays are tracers when run() itself is being jitted)
         pairs = refine.pairs_from_subsets(view_subset_np, s.array_width)
-        state = refine.refine(ctx, sched, pairs=pairs)
+        state = refine.refine(
+            ctx, sched, pairs=pairs,
+            spixl_size=s.spixl_size, label_radius=label_radius,
+        )
         disp_full = fusion.fuse_views(
             labels,
             spmap.center,
@@ -116,6 +126,8 @@ class MVSPipeline:
             s.bl_ratio,
             sched.fuse_eff,
             cross_check=self.cross_check,
+            spixl_size=s.spixl_size,
+            label_radius=label_radius,
         )
         return PipelineArtifacts(
             lab=lab,

@@ -33,20 +33,96 @@ def _cl_round(x: jax.Array) -> jax.Array:
     return jnp.where(x >= 0, jnp.floor(x + 0.5), jnp.ceil(x - 0.5))
 
 
-@jax.jit
+def select_cell_lookup(
+    labels: jax.Array,  # (V, H, W) int32 per-pixel superpixel label
+    fields: jax.Array,  # (V, Mh, Mw, C) per-superpixel data
+    spixl_size: int,
+    radius: int = 1,
+) -> jax.Array:
+    """Gather-free per-pixel lookup of the owning superpixel's fields.
+
+    TPU random gathers run at a fixed ~125-250 M rows/s (BASELINE.md), so
+    ``fields.reshape(-1, C)[labels]`` costs ~100 ms at 9x1080p per call.
+    But SLIC confines every pixel's label to the 3x3 cell window around the
+    pixel's own grid cell (the assignment search of clcode.cl:461-468 only
+    offers candidates with |cell delta| <= 1, and the update drops members
+    outside their cluster's 3S x 3S window), so the lookup is a sum of
+    ``(2*radius+1)^2`` compare-selects against shifted upsampled cell maps —
+    pure fused vector math, ~20x faster.  Each ``supress_local_lable`` pass
+    (clcode.cl:676-711, +-2 px adoption) widens the bound by one cell:
+    ``radius = 1 + number_of_suppress_passes``.
+
+    Exactness: exactly one candidate matches per pixel, and ``x + 0 == x``
+    in IEEE fp, so the result is bitwise identical to the gather form.  A
+    pixel whose label violates the radius bound (impossible for labels
+    produced by ops/slic.segment) yields 0.
+    """
+    v, h, w = labels.shape
+    mh, mw = fields.shape[1:3]
+    c = fields.shape[3]
+    s = spixl_size
+    cx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)[None] // s  # (1,H,W)
+    cy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)[None] // s
+
+    # channel-planar accumulation: (V, H, W, C) puts C (tiny) on the TPU
+    # lane axis, wasting 120+ of 128 lanes — accumulate per-field (V, H, W)
+    # planes (W on lanes) and stack once at the end
+    out = [jnp.zeros((v, h, w), jnp.float32) for _ in range(c)]
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            qx = cx + dx
+            qy = cy + dy
+            inb = (qx >= 0) & (qy >= 0) & (qx < mw) & (qy < mh)
+            match = inb & (labels == qy * mw + qx)
+            # shifted cell map, upsampled to pixels; roll wraps only at
+            # cells where match is already False
+            f = jnp.roll(fields, (-dy, -dx), axis=(1, 2))
+            for ci in range(c):
+                up = jnp.broadcast_to(
+                    f[:, :, None, :, None, ci], (v, mh, s, mw, s)
+                ).reshape(v, mh * s, mw * s)[:, :h, :w]
+                out[ci] = out[ci] + jnp.where(match, up, 0.0)
+    return jnp.stack(out, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("spixl_size", "label_radius"))
 def rasterize_planes(
     labels: jax.Array,  # (V, H, W) int32
     centers: jax.Array,  # (V, Mh, Mw, 2)
     state_d: jax.Array,  # (V, Mh, Mw)
     state_n: jax.Array,  # (V, Mh, Mw, 3)
+    *,
+    spixl_size: int = 8,
+    label_radius: int = 1,
 ) -> jax.Array:
     """``spixl_to_image``: per-pixel disparity from the owning superpixel's
-    plane: ``d(p) = (n . (c - p) + nz * d) / nz`` (cl:1928)."""
+    plane: ``d(p) = (n . (c - p) + nz * d) / nz`` (cl:1928).  Gather-free
+    (see ``select_cell_lookup``); bitwise equal to
+    ``rasterize_planes_gather``."""
+    pack = jnp.concatenate([centers, state_d[..., None], state_n], axis=-1)
+    g = select_cell_lookup(labels, pack, spixl_size, label_radius)
+    h, w = labels.shape[1:3]
+    px = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)[None].astype(jnp.float32)
+    py = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)[None].astype(jnp.float32)
+    return (
+        g[..., 3] * (g[..., 0] - px) + g[..., 4] * (g[..., 1] - py) + g[..., 5] * g[..., 2]
+    ) / g[..., 5]
+
+
+@jax.jit
+def rasterize_planes_gather(
+    labels: jax.Array,  # (V, H, W) int32
+    centers: jax.Array,  # (V, Mh, Mw, 2)
+    state_d: jax.Array,  # (V, Mh, Mw)
+    state_n: jax.Array,  # (V, Mh, Mw, 3)
+) -> jax.Array:
+    """Gather formulation of ``rasterize_planes`` (one packed 6-float row
+    per pixel) — kept as the differential-test reference for the select
+    path and for label layouts that do not satisfy the radius bound."""
     v, h, w = labels.shape
     mh, mw = centers.shape[1:3]
     vid = jnp.arange(v, dtype=jnp.int32)[:, None, None]
     flat_sp = (vid * (mh * mw) + labels).reshape(-1)
-    # one packed 6-float gather per pixel (gather cost is per row on TPU)
     pack = jnp.concatenate(
         [centers, state_d[..., None], state_n], axis=-1
     ).reshape(-1, 6)
@@ -154,11 +230,14 @@ def remove_view_inconsistency(
 
 def fuse_views(
     labels, centers, state_d, state_n, array_width: int, bl_ratio: float, fuse: float,
-    *, cross_check: bool = False,
+    *, cross_check: bool = False, spixl_size: int = 8, label_radius: int = 1,
 ):
     """Full fusion stage.  ``cross_check=False`` matches the shipping
     reference (rasterization only); ``True`` adds the intended warp + vote."""
-    disp_full = rasterize_planes(labels, centers, state_d, state_n)
+    disp_full = rasterize_planes(
+        labels, centers, state_d, state_n,
+        spixl_size=spixl_size, label_radius=label_radius,
+    )
     if not cross_check:
         return disp_full
     disp_proj = project_to_reference_inv(disp_full, array_width, bl_ratio)

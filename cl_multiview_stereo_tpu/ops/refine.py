@@ -87,8 +87,10 @@ class RefineContext(NamedTuple):
 
 
 def make_context(
-    center, color, disp0, labels, extent, fl, view_subset, array_width: int
+    center, color, disp0, labels, extent, fl, view_subset, array_width: int,
+    *, spixl_size: int = 8, label_radius: int = 1,
 ) -> RefineContext:
+    from cl_multiview_stereo_tpu.ops.fusion import select_cell_lookup
     from cl_multiview_stereo_tpu.ops.superpixel import consistency_samples
 
     center = jnp.asarray(center)
@@ -101,11 +103,11 @@ def make_context(
     dvx = ((ids % array_width) - (z % array_width)[:, None]).astype(jnp.float32)
     dvy = ((ids // array_width) - (z // array_width)[:, None]).astype(jnp.float32)
 
-    # per-pixel owning-superpixel color, flattened (iteration-independent)
-    flat_sp = (
-        jnp.arange(v, dtype=jnp.int32)[:, None, None] * (mh * mw) + labels
-    ).reshape(-1)
-    ras_color = color.reshape(-1, 3)[flat_sp]
+    # per-pixel owning-superpixel color, flattened (iteration-independent;
+    # gather-free: SLIC labels satisfy the cell-window bound)
+    ras_color = select_cell_lookup(
+        labels, color, spixl_size, label_radius
+    ).reshape(-1, 3)
 
     return RefineContext(
         center=center,
@@ -170,22 +172,25 @@ _IMM = tuple((i, j) for i in (-1, 0, 1) for j in (-1, 0, 1) if not (i == 0 and j
 
 
 def _rasterize_flat(
-    ctx: RefineContext, state_d: jax.Array, state_n: jax.Array
+    ctx: RefineContext,
+    state_d: jax.Array,
+    state_n: jax.Array,
+    spixl_size: int = 8,
+    label_radius: int = 1,
 ) -> jax.Array:
     """Rasterize the input state to per-pixel disparity (``spixl_to_image``,
     cl:1906-1931) and pack with the per-pixel superpixel color.
     Returns (V*H*W, 4).
 
-    One packed 6-float gather per pixel (gathers cost per *row* on TPU, so
-    separate center/d/n lookups would triple the dominant cost)."""
-    v, mh, mw = state_d.shape
+    Gather-free: the per-pixel plane lookup uses the SLIC cell-window bound
+    (``fusion.select_cell_lookup``) — bitwise equal to the packed-gather
+    form at ~20x the speed (the 18.7M-row gather was the second-largest
+    per-iteration cost at the reference config)."""
+    from cl_multiview_stereo_tpu.ops.fusion import select_cell_lookup
+
     h, w = ctx.labels.shape[1:3]
-    vid = jnp.arange(v, dtype=jnp.int32)[:, None, None]
-    flat_sp = (vid * (mh * mw) + ctx.labels).reshape(-1)
-    pack = jnp.concatenate(
-        [ctx.center, state_d[..., None], state_n], axis=-1
-    ).reshape(-1, 6)
-    g = pack[flat_sp].reshape(v, h, w, 6)
+    pack = jnp.concatenate([ctx.center, state_d[..., None], state_n], axis=-1)
+    g = select_cell_lookup(ctx.labels, pack, spixl_size, label_radius)
     px = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)[None].astype(jnp.float32)
     py = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)[None].astype(jnp.float32)
     disp = (
@@ -217,48 +222,56 @@ def build_cell_cache(
 
     # tap positions: 8 immediate + 4*steps long-range at flatness pitch
     # (cl:1169 / cl:1437: step_sz = max(1, (int)(fl.x*kss + 0.5)))
-    step_sz = jnp.maximum(1, (ctx.fl[..., 0] * step_size + 0.5).astype(jnp.int32))
-    tx_list, ty_list, g_list, ok_list = [], [], [], []
+    packed = jnp.concatenate([center, color, tgt_d[..., None]], axis=-1)
+
+    # immediate taps sit at STATIC cell offsets: a roll is a relayout-free
+    # shift, vs ~2M gather rows at the fixed TPU gather rate; the wrapped
+    # border values are exactly the ones masked to sim 0 below
+    tap_parts, g_list, ok_list = [], [], []
     for dx, dy in _IMM:
-        tx = colg + dx
-        ty = rowg + dy
-        ok = (tx >= 0) & (ty >= 0) & (tx < mw) & (ty < mh)
-        tx_list.append(jnp.broadcast_to(tx, tgt_d.shape))
-        ty_list.append(jnp.broadcast_to(ty, tgt_d.shape))
+        tap_parts.append(jnp.roll(packed, (-dy, -dx), axis=(1, 2)))
+        ok = (colg + dx >= 0) & (rowg + dy >= 0) & (colg + dx < mw) & (rowg + dy < mh)
         g_list.append(gamma)
         ok_list.append(jnp.broadcast_to(ok, tgt_d.shape))
-    for i in range(1, steps + 1):
-        step = i * step_sz  # (V, Mh, Mw)
-        off = step + 1
-        for axis, sign in ((0, -1), (0, 1), (1, -1), (1, 1)):  # L R U D
-            if axis == 0:
-                tx = colg + sign * off
-                ty = jnp.broadcast_to(rowg, tgt_d.shape)
-                ok = (colg > step) if sign < 0 else (colg < mw - step - 1)
-            else:
-                tx = jnp.broadcast_to(colg, tgt_d.shape)
-                ty = rowg + sign * off
-                ok = (rowg > step) if sign < 0 else (rowg < mh - step - 1)
-            tx_list.append(tx)
-            ty_list.append(ty)
-            g_list.append(gamma * (1 + i))
-            ok_list.append(jnp.broadcast_to(ok, tgt_d.shape))
 
-    tx = jnp.stack(tx_list, axis=-1)  # (V, Mh, Mw, T)
-    ty = jnp.stack(ty_list, axis=-1)
+    # long-range taps have data-dependent pitch -> stay a packed gather
+    if steps > 0:
+        step_sz = jnp.maximum(
+            1, (ctx.fl[..., 0] * step_size + 0.5).astype(jnp.int32)
+        )
+        tx_list, ty_list = [], []
+        for i in range(1, steps + 1):
+            step = i * step_sz  # (V, Mh, Mw)
+            off = step + 1
+            for axis, sign in ((0, -1), (0, 1), (1, -1), (1, 1)):  # L R U D
+                if axis == 0:
+                    tx = colg + sign * off
+                    ty = jnp.broadcast_to(rowg, tgt_d.shape)
+                    ok = (colg > step) if sign < 0 else (colg < mw - step - 1)
+                else:
+                    tx = jnp.broadcast_to(colg, tgt_d.shape)
+                    ty = rowg + sign * off
+                    ok = (rowg > step) if sign < 0 else (rowg < mh - step - 1)
+                tx_list.append(tx)
+                ty_list.append(ty)
+                g_list.append(gamma * (1 + i))
+                ok_list.append(jnp.broadcast_to(ok, tgt_d.shape))
+        tx = jnp.stack(tx_list, axis=-1)  # (V, Mh, Mw, 4*steps)
+        ty = jnp.stack(ty_list, axis=-1)
+        flat = (
+            jnp.arange(v, dtype=jnp.int32)[:, None, None, None] * (mh * mw)
+            + jnp.clip(ty, 0, mh - 1) * mw
+            + jnp.clip(tx, 0, mw - 1)
+        )
+        lr = packed.reshape(-1, 6)[flat.reshape(-1)].reshape(v, mh, mw, -1, 6)
+        tap = jnp.concatenate(
+            [jnp.stack(tap_parts, axis=-2), lr], axis=-2
+        )  # (V, Mh, Mw, T, 6)
+    else:
+        tap = jnp.stack(tap_parts, axis=-2)
+
     ok = jnp.stack(ok_list, axis=-1)
     gammas = jnp.asarray(g_list, jnp.float32)  # (T,)
-
-    # one packed gather for all taps: [cx, cy, r, g, b, d]
-    packed = jnp.concatenate(
-        [center, color, tgt_d[..., None]], axis=-1
-    ).reshape(-1, 6)
-    flat = (
-        jnp.arange(v, dtype=jnp.int32)[:, None, None, None] * (mh * mw)
-        + jnp.clip(ty, 0, mh - 1) * mw
-        + jnp.clip(tx, 0, mw - 1)
-    )
-    tap = packed[flat.reshape(-1)].reshape(v, mh, mw, -1, 6)
 
     tap_ax = center[..., 0:1] - tap[..., 0]
     tap_ay = center[..., 1:2] - tap[..., 1]
@@ -267,17 +280,14 @@ def build_cell_cache(
     tap_d = tap[..., 5]
     wn = jnp.sum(tap_sim, axis=-1)
 
-    # ring data for the plane-refit moves (first 8 taps ARE the ring
-    # positions but in a different order; regather in ring order, cheap)
+    # ring data for the plane-refit moves: static offsets -> rolls too
+    rpack = jnp.stack(
+        [jnp.roll(packed, (-dy, -dx), axis=(1, 2)) for dx, dy in _RING],
+        axis=-2,
+    )  # (V, Mh, Mw, 8, 6)
     rtx = jnp.stack([colg + dx for dx, dy in _RING], axis=-1)
     rty = jnp.stack([rowg + dy for dx, dy in _RING], axis=-1)
     rok = (rtx >= 0) & (rty >= 0) & (rtx < mw) & (rty < mh)
-    rflat = (
-        jnp.arange(v, dtype=jnp.int32)[:, None, None, None] * (mh * mw)
-        + jnp.clip(rty, 0, mh - 1) * mw
-        + jnp.clip(rtx, 0, mw - 1)
-    )
-    rpack = packed[rflat.reshape(-1)].reshape(v, mh, mw, 8, 6)
     ring_dcx = rpack[..., 0] - center[..., 0:1]
     ring_dcy = rpack[..., 1] - center[..., 1:2]
     ring_d = rpack[..., 5]
@@ -304,6 +314,8 @@ def build_cache(
     gamma: float,
     steps: int,
     step_size: float,
+    spixl_size: int = 8,
+    label_radius: int = 1,
 ) -> IterCache:
     """Gather every move-independent quantity for one sweep: the cell-level
     tap/ring caches plus the rasterized input state for consistency lookups.
@@ -315,10 +327,8 @@ def build_cache(
         ctx, tgt_d, gamma=gamma, steps=steps, step_size=step_size
     )
     if state_n is None:
-        n_fronto = jnp.zeros(tgt_d.shape + (3,), jnp.float32).at[..., 2].set(1.0)
-        ras = _rasterize_flat(ctx, tgt_d, n_fronto)
-    else:
-        ras = _rasterize_flat(ctx, tgt_d, state_n)
+        state_n = jnp.zeros(tgt_d.shape + (3,), jnp.float32).at[..., 2].set(1.0)
+    ras = _rasterize_flat(ctx, tgt_d, state_n, spixl_size, label_radius)
     return cache._replace(ras=ras)
 
 
@@ -536,6 +546,7 @@ def init_state(
     jax.jit,
     static_argnames=(
         "gamma", "alpha", "fuse", "bl_ratio", "steps", "step_size", "pairs",
+        "spixl_size", "label_radius",
     ),
 )
 def _init_state(
@@ -548,11 +559,14 @@ def _init_state(
     steps: int,
     step_size: float,
     pairs: tuple,
+    spixl_size: int = 8,
+    label_radius: int = 1,
 ) -> RefineState:
     d0 = ctx.disp0
     n0 = jnp.zeros(d0.shape + (3,), jnp.float32).at[..., 2].set(1.0)
     cache = build_cache(
-        ctx, ctx.disp0, None, gamma=gamma, steps=steps, step_size=step_size
+        ctx, ctx.disp0, None, gamma=gamma, steps=steps, step_size=step_size,
+        spixl_size=spixl_size, label_radius=label_radius,
     )
     sm = smoothness_from_cache(cache, d0, n0, alpha=alpha)
     cs = consistency_from_cache(
@@ -608,7 +622,6 @@ def gather_update_moves(
     """
     v, mh, mw = state_in.d.shape
     center = ctx.center
-    m = len(offs)
     colg = jax.lax.broadcasted_iota(jnp.int32, (mh, mw), 1)[None]
     rowg = jax.lax.broadcasted_iota(jnp.int32, (mh, mw), 0)[None]
     dxs = jnp.asarray([o[0] for o in offs], jnp.int32)
@@ -616,15 +629,17 @@ def gather_update_moves(
     tx = colg[..., None] + dxs  # (V, Mh, Mw, M)
     ty = rowg[..., None] + dys
     ok_m = (tx >= 0) & (ty >= 0) & (tx < mw) & (ty < mh)
+    # every move offset is STATIC (the long-range pitch is compile-time,
+    # _update_move_offsets), so the neighbor-plane "gather" is a stack of
+    # rolls — no gather rows at all; wrapped border reads are exactly the
+    # ok_m-masked entries
     packed = jnp.concatenate(
         [center, ctx.color, state_in.d[..., None], state_in.n], axis=-1
-    ).reshape(-1, 9)  # [cx, cy, r, g, b, d, nx, ny, nz]
-    flat = (
-        jnp.arange(v, dtype=jnp.int32)[:, None, None, None] * (mh * mw)
-        + jnp.clip(ty, 0, mh - 1) * mw
-        + jnp.clip(tx, 0, mw - 1)
-    )
-    nb = packed[flat.reshape(-1)].reshape(v, mh, mw, m, 9)
+    )  # [cx, cy, r, g, b, d, nx, ny, nz]
+    nb = jnp.stack(
+        [jnp.roll(packed, (-dy, -dx), axis=(1, 2)) for dx, dy in offs],
+        axis=-2,
+    )  # (V, Mh, Mw, M, 9)
     n1x, n1y, n1z = nb[..., 6], nb[..., 7], nb[..., 8]
     d_adopt = (
         n1x * (nb[..., 0] - center[..., 0:1])
@@ -661,7 +676,7 @@ def propagate_iteration(
     jax.jit,
     static_argnames=(
         "it", "gamma", "alpha", "fuse", "bl_ratio", "steps", "step_size",
-        "pairs",
+        "pairs", "spixl_size", "label_radius",
     ),
 )
 def _propagate_iteration(
@@ -676,13 +691,16 @@ def _propagate_iteration(
     steps: int,
     step_size: float,
     pairs: tuple,
+    spixl_size: int = 8,
+    label_radius: int = 1,
 ) -> RefineState:
     v, mh, mw = state_in.d.shape
     center = ctx.center
     greedy = it < 4  # cl:1663 / cl:1713
 
     cache = build_cache(
-        ctx, state_in.d, state_in.n, gamma=gamma, steps=steps, step_size=step_size
+        ctx, state_in.d, state_in.n, gamma=gamma, steps=steps, step_size=step_size,
+        spixl_size=spixl_size, label_radius=label_radius,
     )
 
     # ---- pre-gather update-move candidates (input-state-only) -------------
@@ -814,6 +832,8 @@ def refine(
     *,
     pairs: tuple | None = None,
     jit: bool = True,
+    spixl_size: int = 8,
+    label_radius: int = 1,
 ) -> RefineState:
     """Full refinement: init state, then ``no_prop`` Jacobi sweeps with
     decaying reach (depth_refinement.cpp:105-106, 767-769)."""
@@ -825,6 +845,8 @@ def refine(
         fuse=schedule.fuse_eff,
         bl_ratio=schedule.bl_ratio,
         pairs=pairs,
+        spixl_size=spixl_size,
+        label_radius=label_radius,
     )
     del jit  # stage functions are module-level jits (stable cache keys)
     state = init_state(

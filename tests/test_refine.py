@@ -158,3 +158,35 @@ def test_full_refinement_improves_or_keeps_planarity(scene):
     assert d.min() >= -10 and d.max() <= 40
     near_gt = (np.abs(d - 5.0) <= 1.5) | (np.abs(d - 9.0) <= 1.5)
     assert near_gt.mean() > 0.6, f"near-GT fraction {near_gt.mean()}"
+
+
+def test_select_cell_lookup_matches_gather(scene):
+    """The gather-free per-pixel lookup (fusion.select_cell_lookup) is
+    bitwise-identical to the packed-gather rasterization, for raw SLIC
+    labels (radius 1) and connectivity-suppressed labels (radius widens by
+    one cell per suppress pass)."""
+    from cl_multiview_stereo_tpu.ops import fusion
+
+    spmap = scene["spmap"]
+    labels = scene["labels"]
+    rng = np.random.default_rng(3)
+    v, mh, mw = scene["disp0"].shape
+    d = rng.uniform(4, 11, (v, mh, mw)).astype(np.float32)
+    n = rng.normal(size=(v, mh, mw, 3)).astype(np.float32)
+    n[..., 2] = np.abs(n[..., 2]) + 0.5
+
+    got = fusion.rasterize_planes(
+        labels, spmap.center, d, n, spixl_size=8, label_radius=1
+    )
+    want = fusion.rasterize_planes_gather(labels, spmap.center, d, n)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # connectivity-suppressed labels need radius 1 + passes
+    lab2 = labels
+    for _ in range(2):
+        lab2 = np.asarray(slic.suppress_local_labels(lab2))
+    got2 = fusion.rasterize_planes(
+        lab2, spmap.center, d, n, spixl_size=8, label_radius=3
+    )
+    want2 = fusion.rasterize_planes_gather(lab2, spmap.center, d, n)
+    np.testing.assert_array_equal(np.asarray(got2), np.asarray(want2))
