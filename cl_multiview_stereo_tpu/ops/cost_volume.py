@@ -199,19 +199,17 @@ def superpixel_cost_volume_dense(
     max_sx = int(np.ceil(max_abs_disp * neib_hor)) + 1
     max_sy = int(np.ceil(bl_ratio * max_abs_disp * neib_ver)) + 1
 
-    # pre-padded, view-rolled image per delta; edge-replicate so index -1
-    # reads row/col 0 (the reference's (int) cast maps (-1, 0) to 0,
-    # clcode.cl:1034,1039) — validity is decided by the float test below,
-    # never by the padding content
-    padded = {}
-    for g, (gx, gy) in enumerate(deltas):
-        dz = gy * ah + gx
-        nbr = jnp.roll(lab, -dz, axis=0)  # row z holds view z+dz
-        padded[g] = jnp.pad(
-            nbr,
-            ((0, 0), (max_sy, max_sy), (max_sx, max_sx), (0, 0)),
-            mode="edge",
-        )
+    # ONE pre-padded image stack; edge-replicate so index -1 reads row/col 0
+    # (the reference's (int) cast maps (-1, 0) to 0, clcode.cl:1034,1039) —
+    # validity is decided by the float test below, never by padding content.
+    # The per-delta view roll happens INSIDE the hypothesis loop on the
+    # (V, h, w, 3) slice: rolling before padding kept 8 full padded copies
+    # (~2.1 GB) live across the whole scan in the single-jit program
+    # (round-1 HBM budget); spatial padding commutes with the view roll, so
+    # the values are identical.
+    padded_all = jnp.pad(
+        lab, ((0, 0), (max_sy, max_sy), (max_sx, max_sx), (0, 0)), mode="edge"
+    )
 
     # reference-sample positions (d-independent)
     cxf, cyf = centers[..., 0], centers[..., 1]
@@ -232,16 +230,19 @@ def superpixel_cost_volume_dense(
     def per_d(carry, d):
         planes = []
         for g, (gx, gy) in enumerate(deltas):
+            dz = gy * ah + gx
             # in-bounds trunc(xr - c) == xr - ceil(c) for ALL c (the result
             # is >= 0, so trunc == floor == xr - ceil(c))
             sx = jnp.ceil(d * gx).astype(jnp.int32)
             sy = jnp.ceil(bl_ratio * d * gy).astype(jnp.int32)
-            # out[y, x] = nbr[y - sy, x - sx]
+            # out[z, y, x] = view[z + dz][y - sy, x - sx]: slice first (all
+            # views), then roll the view axis — both transient per (d, g)
             shifted = jax.lax.dynamic_slice(
-                padded[g],
+                padded_all,
                 (0, max_sy - sy, max_sx - sx, 0),
                 (v, h, w, 3),
             )
+            shifted = jnp.roll(shifted, -dz, axis=0)  # row z holds view z+dz
             planes.append(jnp.sum(jnp.abs(lab - shifted), axis=-1))
         table = jnp.stack(planes, axis=-1).reshape(-1, len(deltas))
         g25 = table[flat_ref].reshape(v, mh, mw, 25, len(deltas))

@@ -38,7 +38,9 @@ def select_cell_lookup(
     fields: jax.Array,  # (V, Mh, Mw, C) per-superpixel data
     spixl_size: int,
     radius: int = 1,
-) -> jax.Array:
+    *,
+    stacked: bool = True,
+) -> jax.Array | list[jax.Array]:
     """Gather-free per-pixel lookup of the owning superpixel's fields.
 
     TPU random gathers run at a fixed ~125-250 M rows/s (BASELINE.md), so
@@ -56,6 +58,14 @@ def select_cell_lookup(
     in IEEE fp, so the result is bitwise identical to the gather form.  A
     pixel whose label violates the radius bound (impossible for labels
     produced by ops/slic.segment) yields 0.
+
+    ``stacked=False`` returns the C per-channel ``(V, H, W)`` planes as a
+    list instead of one ``(V, H, W, C)`` stack.  Callers that relayout the
+    result into a flat gather table MUST take this form and barrier it (see
+    ``refine._rasterize_flat``): reshaping the stacked output to ``(N, C)``
+    makes XLA propagate the transposed table layout upstream through the
+    whole select chain, materializing every per-window match mask as a
+    4x-padded ``pred[N,1]`` temp — the round-1 bench OOM (VERDICT.md item 1).
     """
     v, h, w = labels.shape
     mh, mw = fields.shape[1:3]
@@ -82,6 +92,8 @@ def select_cell_lookup(
                     f[:, :, None, :, None, ci], (v, mh, s, mw, s)
                 ).reshape(v, mh * s, mw * s)[:, :h, :w]
                 out[ci] = out[ci] + jnp.where(match, up, 0.0)
+    if not stacked:
+        return out
     return jnp.stack(out, axis=-1)
 
 

@@ -104,10 +104,14 @@ def make_context(
     dvy = ((ids // array_width) - (z // array_width)[:, None]).astype(jnp.float32)
 
     # per-pixel owning-superpixel color, flattened (iteration-independent;
-    # gather-free: SLIC labels satisfy the cell-window bound)
-    ras_color = select_cell_lookup(
-        labels, color, spixl_size, label_radius
-    ).reshape(-1, 3)
+    # gather-free: SLIC labels satisfy the cell-window bound).  Barrier the
+    # pixel-layout planes before the flat-table relayout — see
+    # select_cell_lookup's stacked=False note (round-1 bench OOM).
+    planes = select_cell_lookup(
+        labels, color, spixl_size, label_radius, stacked=False
+    )
+    planes = jax.lax.optimization_barrier(tuple(planes))
+    ras_color = jnp.concatenate([p.reshape(-1, 1) for p in planes], axis=-1)
 
     return RefineContext(
         center=center,
@@ -185,17 +189,23 @@ def _rasterize_flat(
     Gather-free: the per-pixel plane lookup uses the SLIC cell-window bound
     (``fusion.select_cell_lookup``) — bitwise equal to the packed-gather
     form at ~20x the speed (the 18.7M-row gather was the second-largest
-    per-iteration cost at the reference config)."""
+    per-iteration cost at the reference config).
+
+    The disparity plane is computed and BARRIERED in pixel ``(V, H, W)``
+    layout before the single relayout into the flat gather table: without
+    the barrier, XLA propagates the table's transposed ``(N, 1)`` layout
+    upstream through the whole select chain and materializes every match
+    mask as a 4x-padded ``pred[N,1]`` HBM temp — the round-1 bench OOM
+    (VERDICT.md "What's weak" item 1)."""
     from cl_multiview_stereo_tpu.ops.fusion import select_cell_lookup
 
     h, w = ctx.labels.shape[1:3]
     pack = jnp.concatenate([ctx.center, state_d[..., None], state_n], axis=-1)
-    g = select_cell_lookup(ctx.labels, pack, spixl_size, label_radius)
+    g = select_cell_lookup(ctx.labels, pack, spixl_size, label_radius, stacked=False)
     px = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)[None].astype(jnp.float32)
     py = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)[None].astype(jnp.float32)
-    disp = (
-        g[..., 3] * (g[..., 0] - px) + g[..., 4] * (g[..., 1] - py) + g[..., 5] * g[..., 2]
-    ) / g[..., 5]
+    disp = (g[3] * (g[0] - px) + g[4] * (g[1] - py) + g[5] * g[2]) / g[5]
+    disp = jax.lax.optimization_barrier(disp)
     return jnp.concatenate([disp.reshape(-1, 1), ctx.ras_color], axis=-1)
 
 

@@ -127,49 +127,40 @@ def find_center_association(
     colf = col.astype(jnp.float32)
     rowf = row.astype(jnp.float32)
 
-    # Loop order of clcode.cl:475-479: i in {dx-1, dx} offsets y, j in
-    # {dy-1, dy} offsets x (parity swap quirk preserved); first strict
-    # minimum wins.
-    ups: dict[tuple[int, int], tuple[jax.Array, jax.Array]] = {}
-
-    def get_up(pp, qq):
-        if (pp, qq) not in ups:
-            ups[(pp, qq)] = _upsample_map(packed, pp, qq, h, w, s)
-        return ups[(pp, qq)]
-
-    for i_off in (-1, 0):
-        for j_off in (-1, 0):
-            # qy = cy + dxp + i_off; qx = cx + dyp + j_off
-            sel_y = dxp + i_off  # in {-1, 0} or {0, 1} per parity
-            sel_x = dyp + j_off
-            cands = []
-            for pp in (i_off, i_off + 1):
-                rowsel = []
-                for qq in (j_off, j_off + 1):
-                    rowsel.append(get_up(pp, qq))
-                cands.append(rowsel)
-            my = (dxp[None] == 1)
-            mx = (dyp[None] == 1)
-            f00, o00 = cands[0][0]
-            f01, o01 = cands[0][1]
-            f10, o10 = cands[1][0]
-            f11, o11 = cands[1][1]
-            fld = jnp.where(
-                my[..., None],
-                jnp.where(mx[..., None], f11, f10),
-                jnp.where(mx[..., None], f01, f00),
-            )
-            ok = jnp.where(my, jnp.where(mx, o11, o10), jnp.where(mx, o01, o00))
-
-            c_center = fld[..., 0:2]
-            c_color = fld[..., 2:5]
-            color_d = jnp.sum((lab - c_color) ** 2, axis=-1)
-            space_d = (colf - c_center[..., 0]) ** 2 + (rowf - c_center[..., 1]) ** 2
+    # Distance to cluster (cy + a, cx + b) per static cell shift (a, b):
+    # each upsampled 5-channel field map has exactly ONE consumer here, so
+    # XLA fuses it into the distance arithmetic instead of materializing
+    # nine 370 MB (V, H, W, 5) temps (the round-1 single-jit program kept
+    # all nine live at once — ~3.3 GB of the HBM budget).  Only the nine
+    # (V, H, W) float32 distance planes persist.
+    dists: dict[tuple[int, int], jax.Array] = {}
+    for a in (-1, 0, 1):
+        for b in (-1, 0, 1):
+            fld, ok = _upsample_map(packed, a, b, h, w, s)
+            color_d = jnp.sum((lab - fld[..., 2:5]) ** 2, axis=-1)
+            space_d = (colf - fld[..., 0]) ** 2 + (rowf - fld[..., 1]) ** 2
             dist = jnp.sqrt(
                 color_d * p.max_color_dist
                 + p.color_weight * space_d * p.max_xy_dist
             )
-            dist = jnp.where(ok, dist, jnp.inf)
+            dists[(a, b)] = jnp.where(ok, dist, jnp.inf)
+
+    # Loop order of clcode.cl:475-479: i in {dx-1, dx} offsets y, j in
+    # {dy-1, dy} offsets x (parity swap quirk preserved); first strict
+    # minimum wins.  Per pixel the candidate at step (i_off, j_off) is the
+    # cell shift (dxp + i_off, dyp + j_off) — a parity select among four of
+    # the nine precomputed distance planes.
+    my = dxp[None] == 1
+    mx = dyp[None] == 1
+    for i_off in (-1, 0):
+        for j_off in (-1, 0):
+            d00 = dists[(i_off, j_off)]
+            d01 = dists[(i_off, j_off + 1)]
+            d10 = dists[(i_off + 1, j_off)]
+            d11 = dists[(i_off + 1, j_off + 1)]
+            dist = jnp.where(
+                my, jnp.where(mx, d11, d10), jnp.where(mx, d01, d00)
+            )
             qy = jnp.clip(cy + dxp + i_off, 0, mh - 1)
             qx = jnp.clip(cx + dyp + j_off, 0, mw - 1)
             cand_id = (qy * mw + qx)[None]

@@ -26,7 +26,8 @@ def scene():
         bl_ratio=1.0,
         kernel_size=8,  # -> sp_kernel_step = (4//2)*8 = 16
         kernel_step=2,
-        no_prop=2,
+        no_prop=5,  # reference value; schedules reach for it=0..4 so the
+        # propagate test can cover both acceptance phases (clcode.cl:1663)
     )
     views, _ = synthetic.two_plane_scene(
         48, 64, array_width=2, array_height=2, disp_bg=5.0, disp_fg=9.0,
@@ -87,7 +88,13 @@ def test_init_state_matches_mirror(scene):
     np.testing.assert_allclose(np.asarray(state.d), want["d"], rtol=1e-6)
 
 
-def test_propagate_iteration_matches_mirror(scene):
+@pytest.mark.parametrize("it", [0, 4])
+def test_propagate_iteration_matches_mirror(scene, it):
+    """Both acceptance phases (clcode.cl:1663,1713): ``it=0`` exercises the
+    greedy ``iter<4`` branch, ``it=4`` the product-rule-only phase that
+    governs the reference's final sweep.  The schedule decays reach with
+    ``it`` exactly as depth_refinement.cpp:767-769 (no_prop=5 here, so the
+    it=4 reach is the reference's own final-iteration reach)."""
     s, sched = scene["s"], scene["sched"]
     kw = dict(
         gamma=sched.gamma_eff, alpha=sched.alpha_eff, fuse=sched.fuse_eff,
@@ -96,7 +103,6 @@ def test_propagate_iteration_matches_mirror(scene):
     state = refine.init_state(
         scene["ctx"], **kw, steps=sched.kernel_steps, step_size=sched.sp_kernel_step
     )
-    it = 0
     got = refine.propagate_iteration(
         scene["ctx"], state, it, **kw,
         steps=sched.steps_per_iter[it], step_size=sched.step_size_per_iter[it],
@@ -115,14 +121,18 @@ def test_propagate_iteration_matches_mirror(scene):
         sched.steps_per_iter[it], sched.step_size_per_iter[it],
         s.array_width, scene["geom"].img_h, scene["geom"].img_w,
     )
-    # The move chain compounds float32-vs-float64 differences near accept
-    # thresholds; require elementwise agreement on the vast majority and
-    # close disparity stats (the reference's own comparator counted misses,
-    # depth_refinement.cpp:405-451).
-    close = np.isclose(np.asarray(got.d), want["d"], rtol=1e-3, atol=1e-3)
-    assert close.mean() > 0.9, f"disparity agreement {close.mean()}"
-    sm_close = np.isclose(np.asarray(got.sm), want["sm"], rtol=1e-3, atol=1e-3)
-    assert sm_close.mean() > 0.9, f"smoothness agreement {sm_close.mean()}"
+    # The move chain can flip accepts where float32-vs-float64 scoring
+    # differences cross a strict-inequality threshold; bound the miss COUNT
+    # like the reference's comparator (depth_refinement.cpp:405-451).
+    # Measured: 0-1 misses of 192 per field at both phases.
+    n = np.asarray(got.d).size
+    for field in ("d", "sm", "cs"):
+        g = np.asarray(getattr(got, field))
+        close = np.isclose(g, want[field], rtol=1e-3, atol=1e-3)
+        assert close.mean() >= 0.99 and (~close).sum() <= max(2, n // 100), (
+            f"it={it} {field}: agreement {close.mean()}, "
+            f"misses {(~close).sum()}/{n}"
+        )
 
 
 def test_rasterize_matches_mirror(scene):
