@@ -264,7 +264,7 @@ def spatial_refine(
     mesh: Mesh,
     *,
     axis: str = "tile",
-    halo_disp: float | None = None,
+    halo_disp: float | None | str = "auto",
 ):
     """PatchMatch state init + propagation (ops/refine.py) with the
     superpixel grid and the rasterized consistency table sharded by rows
@@ -283,9 +283,18 @@ def spatial_refine(
     ``halo_disp``: bound on |plane-extrapolated disparity| used to size the
     pixel halo (``ceil(bl_ratio * halo_disp * neib_ver)`` rows).  ``None``
     sizes the halo to the full image — bitwise identical to the unsharded
-    ``refine.refine`` (the halo then falls back to an all-gather);
-    a finite bound keeps exchange single-hop and only differs for
-    degenerate planes whose extrapolation exceeds the bound.
+    ``refine.refine`` (the halo then falls back to an all-gather); a finite
+    bound keeps exchange single-hop and only differs for degenerate planes
+    whose extrapolation exceeds the bound.  The default ``"auto"`` derives
+    the bound from the scene itself: ``1.5 * max|disp0| + spixl_size`` —
+    initial disparities are ladder values, accepted planes interpolate
+    neighbor-center disparities (same range) and the consistency samples
+    sit within one superpixel of the center, so sample-point extrapolations
+    stay well inside 1.5x the ladder for any non-degenerate plane (the
+    acceptance rule rejects wild planes: their projected samples leave the
+    frame and consistency collapses to the 0.01 floor).  Verified against
+    exact mode on the reference-config fixture in
+    tests/test_spatial_sharding.py.
 
     Requires ``Mh % n == 0`` and ``H % n == 0``.  Returns a full
     ``RefineState`` (gathered).
@@ -299,6 +308,9 @@ def spatial_refine(
         raise ValueError(f"map rows {mh} / image rows {h} not divisible by {n}")
     bh = mh // n
     bhp = h // n
+    if halo_disp == "auto":
+        spixl = max(1, h // max(mh, 1))
+        halo_disp = 1.5 * float(np.max(np.abs(np.asarray(ctx.disp0)))) + spixl
     if halo_disp is None:
         halo_pix = h  # exact mode: window always covers the full image
     else:

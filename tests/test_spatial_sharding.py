@@ -150,7 +150,8 @@ def test_spatial_refine_matches_unsharded(scene):
 
     devs = np.asarray(jax.devices("cpu")[:4]).reshape(4)
     mesh = Mesh(devs, ("tile",))
-    got = spatial.spatial_refine(ctx, sched, mesh)  # exact (full-image halo)
+    # exact mode (full-image halo)
+    got = spatial.spatial_refine(ctx, sched, mesh, halo_disp=None)
     np.testing.assert_array_equal(np.asarray(got.d), np.asarray(want.d))
     np.testing.assert_array_equal(np.asarray(got.sm), np.asarray(want.sm))
     np.testing.assert_array_equal(np.asarray(got.cs), np.asarray(want.cs))
@@ -161,6 +162,12 @@ def test_spatial_refine_matches_unsharded(scene):
     got2 = spatial.spatial_refine(ctx, sched, mesh, halo_disp=2 * s.max_disp)
     np.testing.assert_array_equal(np.asarray(got2.d), np.asarray(want.d))
     np.testing.assert_array_equal(np.asarray(got2.n), np.asarray(want.n))
+
+    # the "auto" default (1.5 * max|disp0| + spixl_size) also matches on
+    # reference-config-like slopes
+    got3 = spatial.spatial_refine(ctx, sched, mesh)
+    np.testing.assert_array_equal(np.asarray(got3.d), np.asarray(want.d))
+    np.testing.assert_array_equal(np.asarray(got3.n), np.asarray(want.n))
 
 
 def test_halo_exchange_roundtrip():

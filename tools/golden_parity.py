@@ -1,0 +1,196 @@
+"""Golden-output parity vs the reference's shipped result PNGs.
+
+The reference tree carries the only ground truth it ever produced
+(``/root/reference/results/``): per-stage grayscale PNGs written by
+``img_translate`` (photo_consistency.cpp:414-438) and ``plot_full_image``
+(depth_refinement.cpp:1473-1495), quantized ``floor((d - 30)/30 * 255)``.
+
+Two comparable artifacts (the others are unlabeled experiment variants, see
+``changes notes.txt``):
+
+* ``1- initialize disparity/initD_dev{k}.png`` — 15 views -> produced from
+  the Bar scene (``backup/data-bar.txt``, ``/root/reference/Images/c*.png``,
+  3x5 array) by the *live device path* of ``initial_depth_estimation_v2``
+  (photo_consistency.cpp:147: min/max 30/60).
+* ``8- Fusion/fus4 {k}.png`` — 9 views -> the Beer-Garden full-pipeline
+  output of the shipping fusion stage (depth_refinement.cpp:1466).
+
+Usage:  python tools/golden_parity.py [init|fusion|both] [--json OUT]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REF = "/root/reference"
+
+
+def quantize(d: np.ndarray, min_disp: float = 30.0, max_disp: float = 60.0) -> np.ndarray:
+    """The writers' ``(unsigned char)floor((d-min)/(max-min)*255)``.
+
+    C truncation-to-uchar of out-of-range floats is unspecified; MSVC x64
+    saturates through int conversion (cvttss2si then byte-mask).  The live
+    values are in range (ladder 30..60; fusion plots after clamped planes),
+    so clip — and report how many pixels were out of range.
+    """
+    q = np.floor((d - min_disp) / (max_disp - min_disp) * 255.0)
+    return np.clip(q, 0, 255).astype(np.uint8)
+
+
+def load_png(path: str) -> np.ndarray:
+    from PIL import Image
+
+    return np.asarray(Image.open(path))
+
+
+def compare(ours: np.ndarray, golden: np.ndarray, tol_quanta: int = 1):
+    """Per-pixel agreement within ``tol_quanta`` gray levels (1 quantum =
+    inc/8.5 disparity at the 30..60 ladder)."""
+    diff = np.abs(ours.astype(np.int32) - golden.astype(np.int32))
+    return {
+        "agree_exact": float(np.mean(diff == 0)),
+        "agree_tol": float(np.mean(diff <= tol_quanta)),
+        "mean_abs_quanta": float(np.mean(diff)),
+        "p99_abs_quanta": float(np.percentile(diff, 99)),
+    }
+
+
+# ---------------------------------------------------------------------------
+
+
+def bar_settings():
+    from cl_multiview_stereo_tpu.config import SystemSettings
+
+    # the Bar runs' geometry: 3 rows x 5 cols (backup/data-bar.txt order
+    # c0..c14 row-major; photo_consistency.cpp:325-326 hardcodes width 5)
+    return SystemSettings(array_width=5, array_height=3)
+
+
+def load_bar_images() -> np.ndarray:
+    from PIL import Image
+
+    imgs = [
+        np.asarray(Image.open(f"{REF}/Images/c{k}f1.png").convert("RGB"))
+        for k in range(15)
+    ]
+    return np.stack(imgs)
+
+
+def load_beer_garden() -> np.ndarray:
+    from PIL import Image
+
+    imgs = [
+        np.asarray(Image.open(f"{REF}/Images/Beer-Garden/img{k}.png").convert("RGB"))
+        for k in range(9)
+    ]
+    return np.stack(imgs)
+
+
+def run_init_parity(per_view: bool = True) -> dict:
+    """Depth-init parity on the Bar scene vs ``initD_dev*.png``."""
+    import jax.numpy as jnp
+
+    from cl_multiview_stereo_tpu.models.mvs_pipeline import MVSPipeline
+
+    s = bar_settings()
+    pipe = MVSPipeline.create(1920, 1080, s)
+    rgb = load_bar_images()
+
+    # stages up to depth init only
+    import jax
+
+    from cl_multiview_stereo_tpu.config import (
+        RefinementSchedule, SlicParams, build_disp_levels, build_view_subsets,
+    )
+    from cl_multiview_stereo_tpu.ops import cost_volume, slic, superpixel
+    from cl_multiview_stereo_tpu.ops.color import rgb_to_lab
+
+    geom = pipe.geom
+    disp_levels = build_disp_levels(s)
+    view_subset_np, subset_num_np = build_view_subsets(s)
+
+    @jax.jit
+    def run(rgb):
+        lab = rgb_to_lab(jnp.asarray(rgb))
+        labels, spmap = slic.segment(lab, geom, SlicParams.create(s))
+        extent = superpixel.superpixel_extent(labels, spmap.center, geom)
+        disp_init = cost_volume.initial_depth_estimation(
+            lab, spmap.center, extent, disp_levels,
+            jnp.asarray(view_subset_np), jnp.asarray(subset_num_np),
+            s.array_width, s.bl_ratio, method="dense",
+            neib_hor=s.neib_hor, neib_ver=s.neib_ver,
+        )
+        return labels, disp_init
+
+    labels, disp_init = jax.block_until_ready(run(rgb))
+    labels = np.asarray(labels)
+    disp_init = np.asarray(disp_init)
+
+    # per-pixel: d of owning superpixel (img_translate reads idx_img)
+    v, mh, mw = disp_init.shape
+    stats = {}
+    agg_ours, agg_gold = [], []
+    for k in range(15):
+        d_px = disp_init[k].reshape(-1)[labels[k]]
+        ours = quantize(d_px)
+        golden = load_png(f"{REF}/results/1- initialize disparity/initD_dev{k}.png")
+        agg_ours.append(ours)
+        agg_gold.append(golden)
+        if per_view:
+            stats[f"view{k}"] = compare(ours, golden)
+    stats["all"] = compare(np.stack(agg_ours), np.stack(agg_gold))
+    return stats
+
+
+def run_fusion_parity(per_view: bool = True) -> dict:
+    """Full-pipeline parity on Beer-Garden vs ``fus4 *.png``."""
+    import jax
+
+    from cl_multiview_stereo_tpu.models.mvs_pipeline import MVSPipeline
+
+    pipe = MVSPipeline.create(1920, 1080)
+    rgb = load_beer_garden()
+    art = jax.block_until_ready(pipe.jitted()(rgb))
+    disp_full = np.asarray(art.disp_full)
+
+    stats = {}
+    agg_ours, agg_gold = [], []
+    for k in range(9):
+        ours = quantize(disp_full[k])
+        golden = load_png(f"{REF}/results/8- Fusion/fus4 {k}.png")
+        agg_ours.append(ours)
+        agg_gold.append(golden)
+        if per_view:
+            stats[f"view{k}"] = compare(ours, golden)
+    stats["all"] = compare(np.stack(agg_ours), np.stack(agg_gold))
+    return stats
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("mode", nargs="?", default="both", choices=["init", "fusion", "both"])
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+
+    out = {}
+    if args.mode in ("init", "both"):
+        out["init_vs_initD_dev"] = run_init_parity()
+        print("init parity (Bar, 15 views):", json.dumps(out["init_vs_initD_dev"]["all"], indent=2))
+    if args.mode in ("fusion", "both"):
+        out["fusion_vs_fus4"] = run_fusion_parity()
+        print("fusion parity (Beer-Garden, 9 views):", json.dumps(out["fusion_vs_fus4"]["all"], indent=2))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(out, f, indent=2)
+        print(f"wrote {args.json}")
+
+
+if __name__ == "__main__":
+    main()
