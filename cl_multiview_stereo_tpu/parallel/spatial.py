@@ -264,7 +264,7 @@ def spatial_refine(
     mesh: Mesh,
     *,
     axis: str = "tile",
-    halo_disp: float | None | str = "auto",
+    halo_disp: float | None | str = None,
 ):
     """PatchMatch state init + propagation (ops/refine.py) with the
     superpixel grid and the rasterized consistency table sharded by rows
@@ -285,16 +285,20 @@ def spatial_refine(
     sizes the halo to the full image — bitwise identical to the unsharded
     ``refine.refine`` (the halo then falls back to an all-gather); a finite
     bound keeps exchange single-hop and only differs for degenerate planes
-    whose extrapolation exceeds the bound.  The default ``"auto"`` derives
-    the bound from the scene itself: ``1.5 * max|disp0| + spixl_size`` —
-    initial disparities are ladder values, accepted planes interpolate
-    neighbor-center disparities (same range) and the consistency samples
-    sit within one superpixel of the center, so sample-point extrapolations
-    stay well inside 1.5x the ladder for any non-degenerate plane (the
-    acceptance rule rejects wild planes: their projected samples leave the
-    frame and consistency collapses to the 0.01 floor).  Verified against
-    exact mode on the reference-config fixture in
-    tests/test_spatial_sharding.py.
+    whose extrapolation exceeds the bound.  The default is ``None`` (exact;
+    the repo rule is exactness first) — perf-sensitive call sites opt into
+    ``"auto"`` explicitly.  ``"auto"`` derives a bound from the scene
+    itself: ``1.5 * max|disp0| + spixl_size`` — initial disparities are
+    ladder values, accepted planes interpolate neighbor-center disparities
+    (same range) and the consistency samples sit within one superpixel of
+    the center, so sample-point extrapolations stay well inside 1.5x the
+    ladder for any non-degenerate plane (the acceptance rule rejects wild
+    planes: their projected samples leave the frame and consistency
+    collapses to the 0.01 floor).  Note ``spixl_size`` is a pixel-space
+    quantity added to a disparity-space bound: deliberate slack covering a
+    consistency sample's offset from its superpixel center times a
+    worst-case unit plane slope.  Verified against exact mode on the
+    reference-config fixture in tests/test_spatial_sharding.py.
 
     Requires ``Mh % n == 0`` and ``H % n == 0``.  Returns a full
     ``RefineState`` (gathered).
@@ -310,7 +314,11 @@ def spatial_refine(
     bhp = h // n
     if halo_disp == "auto":
         spixl = max(1, h // max(mh, 1))
-        halo_disp = 1.5 * float(np.max(np.abs(np.asarray(ctx.disp0)))) + spixl
+        disp_max = float(np.max(np.abs(np.asarray(ctx.disp0))))
+        if not math.isfinite(disp_max):
+            raise ValueError("halo_disp='auto' requires finite ctx.disp0")
+        # pixel-space slack (+ spixl) on a disparity-space bound: see docstring
+        halo_disp = 1.5 * disp_max + spixl
     if halo_disp is None:
         halo_pix = h  # exact mode: window always covers the full image
     else:

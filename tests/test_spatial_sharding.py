@@ -163,9 +163,9 @@ def test_spatial_refine_matches_unsharded(scene):
     np.testing.assert_array_equal(np.asarray(got2.d), np.asarray(want.d))
     np.testing.assert_array_equal(np.asarray(got2.n), np.asarray(want.n))
 
-    # the "auto" default (1.5 * max|disp0| + spixl_size) also matches on
+    # explicit "auto" bound (1.5 * max|disp0| + spixl_size) also matches on
     # reference-config-like slopes
-    got3 = spatial.spatial_refine(ctx, sched, mesh)
+    got3 = spatial.spatial_refine(ctx, sched, mesh, halo_disp="auto")
     np.testing.assert_array_equal(np.asarray(got3.d), np.asarray(want.d))
     np.testing.assert_array_equal(np.asarray(got3.n), np.asarray(want.n))
 

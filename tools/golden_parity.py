@@ -32,16 +32,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REF = "/root/reference"
 
 
-def quantize(d: np.ndarray, min_disp: float = 30.0, max_disp: float = 60.0) -> np.ndarray:
+def quantize(
+    d: np.ndarray, min_disp: float = 30.0, max_disp: float = 60.0
+) -> tuple[np.ndarray, int]:
     """The writers' ``(unsigned char)floor((d-min)/(max-min)*255)``.
 
     C truncation-to-uchar of out-of-range floats is unspecified; MSVC x64
     saturates through int conversion (cvttss2si then byte-mask).  The live
     values are in range (ladder 30..60; fusion plots after clamped planes),
-    so clip — and report how many pixels were out of range.
+    so clip — and return how many pixels were out of range so the caller
+    can see where the MSVC-cast speculation could matter.
     """
     q = np.floor((d - min_disp) / (max_disp - min_disp) * 255.0)
-    return np.clip(q, 0, 255).astype(np.uint8)
+    n_oob = int(np.sum((q < 0) | (q > 255)))
+    return np.clip(q, 0, 255).astype(np.uint8), n_oob
 
 
 def load_png(path: str) -> np.ndarray:
@@ -107,7 +111,7 @@ def run_init_parity(per_view: bool = True) -> dict:
     import jax
 
     from cl_multiview_stereo_tpu.config import (
-        RefinementSchedule, SlicParams, build_disp_levels, build_view_subsets,
+        SlicParams, build_disp_levels, build_view_subsets,
     )
     from cl_multiview_stereo_tpu.ops import cost_volume, slic, superpixel
     from cl_multiview_stereo_tpu.ops.color import rgb_to_lab
@@ -134,18 +138,20 @@ def run_init_parity(per_view: bool = True) -> dict:
     disp_init = np.asarray(disp_init)
 
     # per-pixel: d of owning superpixel (img_translate reads idx_img)
-    v, mh, mw = disp_init.shape
     stats = {}
     agg_ours, agg_gold = [], []
-    for k in range(15):
+    oob_total = 0
+    for k in range(s.view_num):
         d_px = disp_init[k].reshape(-1)[labels[k]]
-        ours = quantize(d_px)
+        ours, n_oob = quantize(d_px)
+        oob_total += n_oob
         golden = load_png(f"{REF}/results/1- initialize disparity/initD_dev{k}.png")
         agg_ours.append(ours)
         agg_gold.append(golden)
         if per_view:
             stats[f"view{k}"] = compare(ours, golden)
     stats["all"] = compare(np.stack(agg_ours), np.stack(agg_gold))
+    stats["all"]["quantize_oob_pixels"] = oob_total
     return stats
 
 
@@ -162,14 +168,17 @@ def run_fusion_parity(per_view: bool = True) -> dict:
 
     stats = {}
     agg_ours, agg_gold = [], []
-    for k in range(9):
-        ours = quantize(disp_full[k])
+    oob_total = 0
+    for k in range(pipe.settings.view_num):
+        ours, n_oob = quantize(disp_full[k])
+        oob_total += n_oob
         golden = load_png(f"{REF}/results/8- Fusion/fus4 {k}.png")
         agg_ours.append(ours)
         agg_gold.append(golden)
         if per_view:
             stats[f"view{k}"] = compare(ours, golden)
     stats["all"] = compare(np.stack(agg_ours), np.stack(agg_gold))
+    stats["all"]["quantize_oob_pixels"] = oob_total
     return stats
 
 
