@@ -53,6 +53,24 @@ def main(argv: list[str] | None = None) -> int:
                           "disabled-but-intended path)")
     run.add_argument("--ply", action="store_true",
                      help="export the fused point cloud as binary PLY")
+    run.add_argument("--sfm", action="store_true",
+                     help="recover poses with the SfM front-end first and "
+                          "feed them into the refinement's generalized "
+                          "projection path")
+
+    sfm_p = sub.add_parser(
+        "sfm", help="run the SfM front-end (features -> matches -> "
+                    "triangulation -> bundle adjustment) and report metrics"
+    )
+    sfm_p.add_argument("image_list")
+    sfm_p.add_argument("--config", help="JSON settings file")
+    sfm_p.add_argument("--set", action="append", default=[], metavar="KEY=VAL")
+    sfm_p.add_argument("--out", default="results", help="output directory")
+    sfm_p.add_argument("--keypoints", type=int, default=512)
+    sfm_p.add_argument("--ba-iters", type=int, default=12)
+    sfm_p.add_argument("--free-rotations", action="store_true",
+                       help="optimize rotations too (default: translation-only "
+                            "rig gauge matching the reference's camera model)")
 
     args = ap.parse_args(argv)
 
@@ -69,7 +87,29 @@ def main(argv: list[str] | None = None) -> int:
     v, h, w = rgb.shape[:3]
     print(f"loaded {v} views of {w}x{h}")
 
-    pipe = MVSPipeline.create(w, h, s, cross_check=args.cross_check)
+    if args.cmd == "sfm":
+        return _run_sfm_cmd(args, s, rgb)
+
+    pair_deltas = None
+    if args.sfm:
+        from cl_multiview_stereo_tpu.config import build_view_subsets
+        from cl_multiview_stereo_tpu.models.sfm_pipeline import (
+            pairs_from_poses,
+            run_sfm,
+        )
+
+        res = run_sfm(rgb, s)
+        print(
+            f"sfm: {res.n_matches} matches, reprojection RMS "
+            f"{res.rms_before:.3f} -> {res.rms_after:.3f} px, "
+            f"ATE vs grid prior {res.ate_vs_grid:.4f}"
+        )
+        view_subset, _ = build_view_subsets(s)
+        pair_deltas = pairs_from_poses(res.t, view_subset, 1.0, s.bl_ratio)
+
+    pipe = MVSPipeline.create(
+        w, h, s, cross_check=args.cross_check, pair_deltas=pair_deltas
+    )
     t0 = time.perf_counter()
     art = pipe.run(rgb)
     import jax
@@ -126,6 +166,37 @@ def main(argv: list[str] | None = None) -> int:
             disp_full=art.disp_full,
         )
     print(f"results written to {args.out}")
+    return 0
+
+
+def _run_sfm_cmd(args, s, rgb) -> int:
+    """``sfm`` subcommand: front-end + BA, metrics printed, poses saved."""
+    import numpy as np
+
+    from cl_multiview_stereo_tpu.models.sfm_pipeline import run_sfm
+
+    t0 = time.perf_counter()
+    res = run_sfm(
+        rgb, s, k=args.keypoints, ba_iters=args.ba_iters,
+        fix_rotations=not args.free_rotations,
+    )
+    dt = time.perf_counter() - t0
+    print(f"sfm done in {dt:.2f}s: {res.n_matches} pairwise matches")
+    print(f"reprojection RMS: {res.rms_before:.3f} -> {res.rms_after:.3f} px")
+    print(f"ATE vs grid prior: {res.ate_vs_grid:.4f} (baseline units)")
+    os.makedirs(args.out, exist_ok=True)
+    out_path = os.path.join(args.out, "sfm_poses.npz")
+    np.savez(
+        out_path,
+        aa=res.aa,
+        t=res.t,
+        intr=res.intr,
+        X=res.X,
+        rms_before=res.rms_before,
+        rms_after=res.rms_after,
+        ate_vs_grid=res.ate_vs_grid,
+    )
+    print(f"poses written to {out_path}")
     return 0
 
 

@@ -55,6 +55,11 @@ class MVSPipeline:
     geom: DerivedGeometry
     cross_check: bool = False
     depth_method: str = "dense"  # "dense" (TPU-fast) or "gather" (exact)
+    # Generalized projection: static (ref, view, dvx, dvy) pair list for the
+    # refinement consistency term — e.g. from recovered SfM poses
+    # (models.sfm_pipeline.pairs_from_poses).  None = the reference's
+    # integer camera-grid deltas.
+    pair_deltas: tuple | None = None
 
     @classmethod
     def create(
@@ -111,8 +116,12 @@ class MVSPipeline:
             label_radius=label_radius,
         )
         # static pair list from the concrete numpy tables (the context's
-        # arrays are tracers when run() itself is being jitted)
-        pairs = refine.pairs_from_subsets(view_subset_np, s.array_width)
+        # arrays are tracers when run() itself is being jitted); recovered
+        # SfM poses slot in here as generalized float deltas
+        if self.pair_deltas is not None:
+            pairs = self.pair_deltas
+        else:
+            pairs = refine.pairs_from_subsets(view_subset_np, s.array_width)
         state = refine.refine(
             ctx, sched, pairs=pairs,
             spixl_size=s.spixl_size, label_radius=label_radius,

@@ -192,7 +192,10 @@ def _assemble(p: BAProblem, r, jc, jp, n_cam: int, n_pt: int, psum=None):
     return hcc, hpp, bc, bp
 
 
-def _schur_solve(p: BAProblem, r, jc, jp, n_cam, n_pt, damping, psum=None):
+def _schur_solve(
+    p: BAProblem, r, jc, jp, n_cam, n_pt, damping, psum=None,
+    fix_rotations: bool = False,
+):
     hcc, hpp, bc, bp = _assemble(p, r, jc, jp, n_cam, n_pt, psum)
 
     lam = damping
@@ -245,7 +248,20 @@ def _schur_solve(p: BAProblem, r, jc, jp, n_cam, n_pt, damping, psum=None):
     s_full = jax.scipy.linalg.block_diag(*[hcc_d[i] for i in range(n_cam)]) - s_corr
 
     # Gauge fix: pin camera 0 by pinning its 6 rows/cols to identity.
-    fix = jnp.arange(6)
+    # ``fix_rotations`` additionally pins every camera's rotation block —
+    # the right gauge for the reference's translation-only grid rig, where
+    # the narrow FOV makes small rotations nearly indistinguishable from
+    # translations (the classic BA ambiguity).
+    if fix_rotations:
+        fix = jnp.asarray(
+            sorted(
+                set(range(6))
+                | {c * 6 + k for c in range(n_cam) for k in range(3)}
+            ),
+            jnp.int32,
+        )
+    else:
+        fix = jnp.arange(6)
     s_full = s_full.at[fix, :].set(0.0).at[:, fix].set(0.0)
     s_full = s_full.at[fix, fix].set(1.0)
     rhs = rhs.at[fix].set(0.0)
@@ -262,15 +278,20 @@ def _schur_solve(p: BAProblem, r, jc, jp, n_cam, n_pt, damping, psum=None):
     return dc, dx
 
 
-@partial(jax.jit, static_argnames=("iters",))
-def bundle_adjust(p: BAProblem, iters: int = 10, damping: float = 1e-3) -> BAProblem:
+@partial(jax.jit, static_argnames=("iters", "fix_rotations"))
+def bundle_adjust(
+    p: BAProblem, iters: int = 10, damping: float = 1e-3,
+    fix_rotations: bool = False,
+) -> BAProblem:
     """Levenberg-damped Gauss-Newton BA (single device)."""
     n_cam = p.aa.shape[0]
     n_pt = p.X.shape[0]
 
     def step(prob, _):
         r, jc, jp = _obs_blocks(prob)
-        dc, dx = _schur_solve(prob, r, jc, jp, n_cam, n_pt, damping)
+        dc, dx = _schur_solve(
+            prob, r, jc, jp, n_cam, n_pt, damping, fix_rotations=fix_rotations
+        )
         new = prob._replace(
             aa=prob.aa + dc[:, :3], t=prob.t + dc[:, 3:], X=prob.X + dx
         )
@@ -293,7 +314,10 @@ def bundle_adjust(p: BAProblem, iters: int = 10, damping: float = 1e-3) -> BAPro
     return out
 
 
-def bundle_adjust_sharded(p: BAProblem, mesh, iters: int = 10, damping: float = 1e-3):
+def bundle_adjust_sharded(
+    p: BAProblem, mesh, iters: int = 10, damping: float = 1e-3,
+    fix_rotations: bool = False,
+):
     """Distributed BA: observations sharded over the mesh's ``view`` axis,
     every normal-equation accumulation reduced with ``psum`` over ICI;
     camera/point state replicated (BASELINE north star: per-chip camera
@@ -328,7 +352,10 @@ def bundle_adjust_sharded(p: BAProblem, mesh, iters: int = 10, damping: float = 
     def one_round(aa, t, X, intr, ocam, opt, ouv, ow):
         prob = BAProblem(aa, t, X, intr, ocam, opt, ouv, ow)
         r, jc, jp = _obs_blocks(prob)
-        dc, dx = _schur_solve(prob, r, jc, jp, n_cam, n_pt, damping, psum=psum)
+        dc, dx = _schur_solve(
+            prob, r, jc, jp, n_cam, n_pt, damping, psum=psum,
+            fix_rotations=fix_rotations,
+        )
         return dc, dx
 
     prob = p

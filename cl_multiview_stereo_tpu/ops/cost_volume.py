@@ -140,7 +140,7 @@ def _trunc_int(x: float) -> int:
     return int(math.trunc(x))
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
+@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
 def superpixel_cost_volume_dense(
     lab: jax.Array,  # (V, H, W, 3)
     centers: jax.Array,  # (V, Mh, Mw, 2)
@@ -151,6 +151,7 @@ def superpixel_cost_volume_dense(
     neib_hor: int = 1,
     neib_ver: int = 1,
     max_abs_disp: float = 256.0,
+    deltas_subset: tuple | None = None,  # restrict to these (gx, gy) deltas
 ) -> jax.Array:
     """TPU-fast formulation of the same cost volume: for each camera-grid
     delta g and hypothesis d, the projected image is an integer shift of the
@@ -183,6 +184,12 @@ def superpixel_cost_volume_dense(
         for gy in range(-neib_ver, neib_ver + 1)
         if not (gx == 0 and gy == 0)
     ]
+    if deltas_subset is not None:
+        deltas = [g for g in deltas if g in deltas_subset]
+    if not deltas:
+        return jnp.full(
+            (v, disp_levels.shape[0], mh, mw), _BIG, jnp.float32
+        )
     z = np.arange(v)
     zx, zy = z % ah, z // ah
     valid = np.stack(
@@ -262,6 +269,348 @@ def superpixel_cost_volume_dense(
     return jnp.moveaxis(vols, 0, 1)  # (V, D, Mh, Mw)
 
 
+def _shift_lists(disp_levels, gx: int, gy: int, bl_ratio: float):
+    """Per-hypothesis integer projection shifts, f32-exact vs the dense
+    path's ``jnp.ceil(d * gx)`` / ``jnp.ceil(bl_ratio * d * gy)``."""
+    import numpy as np
+
+    bl = np.float32(bl_ratio)
+    sx = [int(np.ceil(np.float32(d) * np.float32(gx))) for d in disp_levels]
+    sy = [int(np.ceil(bl * np.float32(d) * np.float32(gy))) for d in disp_levels]
+    return sx, sy
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+def superpixel_cost_volume_strips(
+    lab: jax.Array,  # (V, H, W, 3)
+    centers: jax.Array,  # (V, Mh, Mw, 2)
+    step: jax.Array,  # (V, Mh, Mw, 2)
+    disp_levels: tuple,  # static ladder (floats)
+    array_width: int,
+    bl_ratio: float,
+    neib_hor: int = 1,
+    neib_ver: int = 1,
+    # diag deltas fall back to the dense shift-plane sweep inside this fn
+) -> jax.Array:
+    """Strip-gather formulation of the same cost volume: per (cell, sample,
+    pair) ONE gathered row carries the contiguous pixel strip covering
+    EVERY hypothesis's projected position (the ladder's integer shifts
+    span a small contiguous window), so axis-aligned pairs need ~25x fewer
+    gather rows than the per-hypothesis table gather.  Diagonal deltas
+    walk a bl-sloped staircase, which a column-SHEARED image copy turns
+    into a B-row horizontal band (B computed exactly on the host), so they
+    strip-gather too; exotic deltas (|g|>1 or bl<1) fall back to the dense
+    shift-plane sweep.
+
+    Exactness: identical padded image, identical f32 shift/validity
+    arithmetic and sample positions as the dense form; only the f32
+    reduction tree differs (~1 ulp on costs) — differential-tested with a
+    near-exact allclose plus WTA agreement (tests/test_depth_init.py).
+    """
+    import numpy as np
+
+    v, h, w = lab.shape[:3]
+    mh, mw = centers.shape[1:3]
+    ah = array_width
+    av = v // array_width
+    d_num = len(disp_levels)
+
+    deltas = [
+        (gx, gy)
+        for gx in range(-neib_hor, neib_hor + 1)
+        for gy in range(-neib_ver, neib_ver + 1)
+        if not (gx == 0 and gy == 0)
+    ]
+    z_np = np.arange(v)
+    zx, zy = z_np % ah, z_np // ah
+
+    max_abs = max((abs(float(d)) for d in disp_levels), default=0.0)
+    max_sx = int(np.ceil(max_abs * neib_hor)) + 1
+    max_sy = int(np.ceil(np.float32(bl_ratio) * max_abs * neib_ver)) + 1
+    padded = jnp.pad(
+        lab, ((0, 0), (max_sy, max_sy), (max_sx, max_sx), (0, 0)), mode="edge"
+    )
+    hp, wp = h + 2 * max_sy, w + 2 * max_sx
+    # All gather operands are kept PIXEL-FLATTENED (channels folded into
+    # the minor axis): any 4-D channel-minor operand tempts XLA into a
+    # lanes-on-channels layout (3 -> 128 pad, observed as 50-110 GB compile
+    # allocations).  Vertical strips gather from the transposed image
+    # (contiguous along y).
+    padded3 = padded.reshape(v, hp, wp * 3)
+    padded_t3 = jnp.swapaxes(padded, 1, 2).reshape(v, wp, hp * 3)
+
+    # ---- reference samples, sample axis OFF-minor: (V, Mh, 25, Mw) -------
+    cxf, cyf = centers[..., 0], centers[..., 1]
+    offs = jnp.asarray(_SAMPLE_OFFSETS, jnp.float32)  # (25, 2)
+    xr = (
+        cxf[:, :, None, :] + offs[:, 0][None, None, :, None] * step[..., 0][:, :, None, :]
+    ).astype(jnp.int32)
+    yr = (
+        cyf[:, :, None, :] + offs[:, 1][None, None, :, None] * step[..., 1][:, :, None, :]
+    ).astype(jnp.int32)
+    ref_ok = (xr >= 0) & (yr >= 0) & (xr < w) & (yr < h)
+    xrf = xr.astype(jnp.float32)
+    yrf = yr.astype(jnp.float32)
+    vid = jnp.arange(v, dtype=jnp.int32)[:, None, None, None]
+    flat_ref = (
+        vid * (h * w) + jnp.clip(yr, 0, h - 1) * w + jnp.clip(xr, 0, w - 1)
+    )
+    c_ref = lab.reshape(-1, 3)[flat_ref.reshape(-1)].reshape(flat_ref.shape + (3,))
+
+    dl32 = [np.float32(d) for d in disp_levels]
+
+    def strip_gather(operand, starts, length_elems):
+        """Gather (1, 1, length_elems) slices from a pixel-flattened
+        (V, A, 3*B) operand: starts (..., 3) = [view, a, 3*b]."""
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(starts.ndim - 1,),
+            collapsed_slice_dims=(0, 1),
+            start_index_map=(0, 1, 2),
+        )
+        return jax.lax.gather(
+            operand,
+            starts,
+            dn,
+            slice_sizes=(1, 1, length_elems),
+            mode=jax.lax.GatherScatterMode.CLIP,
+        )  # starts.shape[:-1] + (length_elems,)
+
+    def axis_pair_acc(gx: int, gy: int):
+        """(V, D?, ...) accumulated sample costs for one axis-aligned delta.
+        Returns acc (D, V, Mh, Mw)."""
+        dz = gy * ah + gx
+        nv = (jnp.arange(v, dtype=jnp.int32) + dz) % v
+        sxl, syl = _shift_lists(disp_levels, gx, gy, bl_ratio)
+        if gy == 0:
+            lo, hi = min(sxl), max(sxl)
+            length = hi - lo + 1
+            starts = jnp.stack(
+                jnp.broadcast_arrays(
+                    nv[:, None, None, None],
+                    yr + max_sy,
+                    3 * (xr - hi + max_sx),
+                ),
+                axis=-1,
+            )
+            strip = strip_gather(padded3, starts, 3 * length)  # (V,Mh,25,Mw,3L)
+        else:
+            lo, hi = min(syl), max(syl)
+            length = hi - lo + 1
+            starts = jnp.stack(
+                jnp.broadcast_arrays(
+                    nv[:, None, None, None],
+                    xr + max_sx,
+                    3 * (yr - hi + max_sy),
+                ),
+                axis=-1,
+            )
+            strip = strip_gather(padded_t3, starts, 3 * length)
+
+        # hypothesis loop as lax.scan (ONE compiled body: the unrolled form
+        # was ~50K HLO lines -> pathological TPU compile times, and fusing
+        # the D extractions materialized a 115 GB (N, D, 3) temp)
+        def per_d(_, d):
+            sxd = jnp.ceil(d * gx).astype(jnp.int32)
+            syd = jnp.ceil(bl_ratio * d * gy).astype(jnp.int32)
+            sel_i = (hi - sxd) if gy == 0 else (hi - syd)
+            val = jax.lax.dynamic_slice_in_dim(strip, 3 * sel_i, 3, axis=4)
+            sad = jnp.sum(jnp.abs(c_ref - val), axis=-1)  # (V, Mh, 25, Mw)
+            px = xrf - d * gx
+            py = yrf - bl_ratio * d * gy
+            ok = ref_ok & (px > -1.0) & (px < w) & (py > -1.0) & (py < h)
+            return _, jnp.sum(jnp.where(ok, sad, _OOB_PENALTY), axis=2)
+
+        _, acc = jax.lax.scan(per_d, 0, jnp.asarray(dl32))
+        return acc  # (D, V, Mh, Mw)
+
+    # ---- diagonal deltas: sheared-image strips --------------------------
+    # A diagonal delta's per-hypothesis positions walk a bl-sloped
+    # staircase.  In a column-sheared copy of the padded image,
+    # ``Sh[rho, x] = padded[rho + sgn*shear(x) - OFF, x]`` with
+    # ``shear(x) = x + ceil32((bl - 1) * x)``, that staircase becomes a
+    # near-horizontal band of B rows (B computed EXACTLY on the host over
+    # every possible sample column and hypothesis), so one gathered
+    # (B, Lx, 3) patch per (cell, sample) again covers the whole ladder.
+    bl32 = np.float32(bl_ratio)
+    one32 = np.float32(1.0)
+
+    def shear_np(x):
+        return x + np.ceil((bl32 - one32) * x.astype(np.float32))
+
+    def shear_g(x):
+        return x + jnp.ceil((bl32 - one32) * x)
+
+    shear_max = int(
+        max(float(shear_np(np.float32(wp - 1))), float(wp - 1))
+    )
+
+    def build_sheared(sgn: int):
+        """(V, R, Wp, 3) with Sh[rho, x] = padded[rho + sgn*shear(x) - OFF].
+
+        Everything runs at flat f32-element granularity with channels
+        folded into the row axis (shift unit = 3 elements = 1 pixel): a
+        channel-minor intermediate tempts XLA into a lanes-on-channels
+        layout (3 -> 128 pad, a 42x HBM blowup seen at compile time)."""
+        e_vals = (
+            shear_np(np.arange(wp, dtype=np.float32))
+            - np.arange(wp, dtype=np.float32)
+        ).astype(np.int64)  # staircase e(x) >= 0 for bl >= 1
+        e_max = int(e_vals.max())
+        off = shear_max if sgn > 0 else 0
+        r_rows = hp + shear_max + 8
+        pt3 = padded_t3  # rows = x, flat (y, ch)
+        if sgn > 0:
+            # ShT[x, rho] = pt[x, rho + x + e(x) - off]: left-pad by off,
+            # then shift row x LEFT by x pixels (flat-reshape trick), then
+            # by e(x) (static staircase runs)
+            right = 3 * (r_rows + e_max + 8)
+            a = jnp.pad(pt3, ((0, 0), (0, 0), (3 * off, right)))
+            ln = a.shape[2]
+            flat = jnp.pad(a.reshape(v, wp * ln), ((0, 0), (0, 3 * wp)))
+            a = flat[:, : wp * (ln + 3)].reshape(v, wp, ln + 3)
+            shift_sign = 1
+        else:
+            # ShT[x, rho] = pt[x, rho - x - e(x)]: left-pad by shear_max
+            # (covers the largest right shift), right-pad past the
+            # staircase slice end, shift row x RIGHT by x pixels
+            right = 3 * (r_rows + 8)
+            a = jnp.pad(pt3, ((0, 0), (0, 0), (3 * (shear_max + 8), right)))
+            ln = a.shape[2]
+            flat = a.reshape(v, wp * ln)[:, : wp * (ln - 3)]
+            a = flat.reshape(v, wp, ln - 3)
+            shift_sign = -1
+        # staircase: rows with equal e(x) form static runs
+        bounds = [0] + (np.nonzero(np.diff(e_vals))[0] + 1).tolist() + [wp]
+        parts = []
+        for r0, r1 in zip(bounds[:-1], bounds[1:]):
+            e_run = int(e_vals[r0])
+            start = 3 * (e_run if shift_sign > 0 else shear_max + 8 - e_run)
+            parts.append(
+                jax.lax.dynamic_slice_in_dim(
+                    a[:, r0:r1], start, 3 * r_rows, axis=2
+                )
+            )
+        # stay in x-major pixel-flat form (V, Wp, 3*R): transposing to a
+        # rho-major 4-D layout triggered the same lanes-on-channels blowup
+        return jnp.concatenate(parts, axis=1), off  # (V, Wp, 3*r_rows)
+
+    def diag_pair_acc(gx: int, gy: int, sh, off: int):
+        sgn = gx * gy
+        dz = gy * ah + gx
+        nv = (jnp.arange(v, dtype=jnp.int32) + dz) % v
+        sxl, syl = _shift_lists(disp_levels, gx, gy, bl_ratio)
+        lo, hi = min(sxl), max(sxl)
+        length = hi - lo + 1
+        # exact band: rho_i - rho_base over every possible padded column
+        xs = np.arange(wp, dtype=np.float32)
+        sh_xs = shear_np(xs)
+        offs_i = [
+            -sy_i - sgn * (shear_np(xs - np.float32(sx_i)) - sh_xs)
+            for sx_i, sy_i in zip(sxl, syl)
+        ]
+        e_lo = int(min(o.min() for o in offs_i))
+        e_hi = int(max(o.max() for o in offs_i))
+        bband = e_hi - e_lo + 1
+
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(4, 5),
+            collapsed_slice_dims=(0,),
+            start_index_map=(0, 1, 2),
+        )
+        # sample axis chunked: the per-chunk patch is ~0.9 GB at 9-view
+        # 1080p (25 samples at once would be ~4.6 GB — round-1 HBM lesson)
+        acc = jnp.zeros((d_num, v, mh, mw), jnp.float32)
+        for s0_ in range(0, 25, 5):
+            sl = slice(s0_, s0_ + 5)
+            xr_pad = xrf[:, :, sl] + np.float32(max_sx)  # (V, Mh, 5, Mw)
+            sh_xr = shear_g(xr_pad)
+            row0 = (
+                (yr[:, :, sl] + max_sy).astype(jnp.float32)
+                - np.float32(sgn) * sh_xr
+            ).astype(jnp.int32) + (off + e_lo)
+            starts = jnp.stack(
+                jnp.broadcast_arrays(
+                    nv[:, None, None, None],
+                    xr[:, :, sl] - hi + max_sx,
+                    3 * row0,
+                ),
+                axis=-1,
+            )
+            patch = jax.lax.gather(
+                sh, starts, dn, slice_sizes=(1, length, 3 * bband),
+                mode=jax.lax.GatherScatterMode.CLIP,
+            )  # (V, Mh, 5, Mw, Lx, 3B) — rows x, band flat-minor
+
+            c_ref_c = c_ref[:, :, sl]
+            xrf_c, yrf_c = xrf[:, :, sl], yrf[:, :, sl]
+            ref_ok_c = ref_ok[:, :, sl]
+
+            def per_d(_, d):
+                sxd = jnp.ceil(d * gx).astype(jnp.int32)
+                syd = jnp.ceil(bl_ratio * d * gy).astype(jnp.int32)
+                # in-band row of this hypothesis at this column (exact f32
+                # ceil arithmetic, identical to the host band computation)
+                beta = (
+                    -syd.astype(jnp.float32)
+                    - np.float32(sgn)
+                    * (shear_g(xr_pad - sxd.astype(jnp.float32)) - sh_xr)
+                    - np.float32(e_lo)
+                ).astype(jnp.int32)
+                sliced = jax.lax.dynamic_index_in_dim(
+                    patch, hi - sxd, axis=4, keepdims=False
+                )  # (V, Mh, 5, Mw, 3B)
+                val = jnp.zeros(sliced.shape[:4] + (3,), jnp.float32)
+                for b in range(bband):
+                    val = jnp.where(
+                        (beta == b)[..., None],
+                        jax.lax.slice_in_dim(sliced, 3 * b, 3 * b + 3, axis=4),
+                        val,
+                    )
+                sad = jnp.sum(jnp.abs(c_ref_c - val), axis=-1)
+                px = xrf_c - d * gx
+                py = yrf_c - bl_ratio * d * gy
+                ok = (
+                    ref_ok_c
+                    & (px > -1.0) & (px < w) & (py > -1.0) & (py < h)
+                )
+                return _, jnp.sum(jnp.where(ok, sad, _OOB_PENALTY), axis=2)
+
+            _, acc_c = jax.lax.scan(per_d, 0, jnp.asarray(dl32))
+            acc = jax.lax.optimization_barrier(acc + acc_c)
+        return acc  # (D, V, Mh, Mw)
+
+    vol = jnp.full((d_num, v, mh, mw), _BIG, jnp.float32)
+    sh_cache: dict = {}
+    for gx, gy in deltas:
+        valid = (0 <= zx + gx) & (zx + gx < ah) & (0 <= zy + gy) & (zy + gy < av)
+        valid_j = jnp.asarray(valid)[None, :, None, None]
+        if gx == 0 or gy == 0:
+            acc = axis_pair_acc(gx, gy)
+        elif abs(gx) == 1 and abs(gy) == 1 and bl_ratio >= 1.0:
+            # the shear staircase assumes e(x) >= 0 (bl >= 1); exotic rigs
+            # fall through to the dense sweep below
+            sgn = gx * gy
+            if sgn not in sh_cache:
+                sh_cache[sgn] = build_sheared(sgn)
+            acc = diag_pair_acc(gx, gy, *sh_cache[sgn])
+        else:
+            acc = jnp.moveaxis(
+                superpixel_cost_volume_dense(
+                    lab, centers, step,
+                    jnp.asarray([float(d) for d in disp_levels], jnp.float32),
+                    array_width, bl_ratio, neib_hor, neib_ver,
+                    max(abs(float(d)) for d in disp_levels), ((gx, gy),),
+                ),
+                1, 0,
+            )
+        # barrier the running minimum so XLA sequences the per-delta
+        # temporaries (patch/strip arrays are GB-scale; round-1 OOM lesson)
+        vol = jax.lax.optimization_barrier(
+            jnp.minimum(vol, jnp.where(valid_j, acc, _BIG))
+        )
+    return jnp.moveaxis(vol, 0, 1)  # (V, D, Mh, Mw)
+
+
 def wta_disparity(
     vol: jax.Array, disp_levels: jax.Array, subset_num: jax.Array
 ) -> jax.Array:
@@ -303,7 +652,12 @@ def initial_depth_estimation(
 
     disp_levels = np.asarray(disp_levels)
     step = extent_step(extent)
-    if method == "dense":
+    if method == "strips":
+        vol = superpixel_cost_volume_strips(
+            lab, centers, step, tuple(float(d) for d in disp_levels),
+            array_width, bl_ratio, neib_hor, neib_ver,
+        )
+    elif method == "dense":
         max_abs = float(np.max(np.abs(disp_levels))) if len(disp_levels) else 0.0
         vol = superpixel_cost_volume_dense(
             lab, centers, step, jnp.asarray(disp_levels, jnp.float32),

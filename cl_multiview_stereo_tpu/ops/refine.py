@@ -79,7 +79,11 @@ class RefineContext(NamedTuple):
     color: jax.Array  # (V, Mh, Mw, 3) float32 superpixel Lab
     disp0: jax.Array  # (V, Mh, Mw) float32 initial disparity (spixl_map.s7)
     labels: jax.Array  # (V, H, W) int32 per-view pixel -> superpixel
-    samples: jax.Array  # (V, Mh, Mw, 9, 2) int32 consistency sample offsets
+    # Consistency sample offsets with the 9-sample axis OFF the minor
+    # position: a (..., 9) minor axis pads to 128 lanes (14x wasted VPU and
+    # HBM on every per-move intermediate) — measured 109.5 -> 86.8 ms per
+    # consistency call at the reference config (tools/probe_refine_layouts).
+    samples: jax.Array  # (V, Mh, 9, Mw, 2) int32
     fl: jax.Array  # (V, Mh, Mw, 2) float32 flatness weights
     view_subset: jax.Array  # (V, max_n) int32, -1 padded
     dv: jax.Array  # (V, max_n, 2) float32 camera-grid deltas (dvx, dvy)
@@ -118,7 +122,7 @@ def make_context(
         color=color,
         disp0=jnp.asarray(disp0),
         labels=labels,
-        samples=consistency_samples(jnp.asarray(extent)),
+        samples=jnp.moveaxis(consistency_samples(jnp.asarray(extent)), 3, 2),
         fl=jnp.asarray(fl),
         view_subset=jnp.asarray(view_subset),
         dv=jnp.stack([dvx, dvy], axis=-1),
@@ -455,19 +459,23 @@ def consistency_from_cache(
     refs_j = jnp.asarray(refs)
     take = lambda a: jnp.take(a, refs_j, axis=0)
 
-    cx_i = center[..., 0].astype(jnp.int32)[..., None]
-    cy_i = center[..., 1].astype(jnp.int32)[..., None]
-    sx = cx_i + ctx.samples[..., 0]  # (V, Mh, Mw, 9)
-    sy = cy_i + ctx.samples[..., 1]
+    # sample axis lives at position -2 throughout (the 9-minor layout pads
+    # to 128 lanes and relayouts around the gather; see RefineContext.samples)
+    cx = center[..., 0][:, :, None, :]  # (V, Mh, 1, Mw)
+    cy = center[..., 1][:, :, None, :]
+    sx = cx.astype(jnp.int32) + ctx.samples[..., 0]  # (V, Mh, 9, Mw)
+    sy = cy.astype(jnp.int32) + ctx.samples[..., 1]
 
-    nx, ny, nz = n0[..., 0:1], n0[..., 1:2], n0[..., 2:3]
+    nx = n0[..., 0][:, :, None, :]
+    ny = n0[..., 1][:, :, None, :]
+    nz = n0[..., 2][:, :, None, :]
     d_intrp = (
-        nx * (center[..., 0:1] - sx.astype(jnp.float32))
-        + ny * (center[..., 1:2] - sy.astype(jnp.float32))
-        + nz * d0[..., None]
-    ) / nz  # (V, Mh, Mw, 9)
+        nx * (cx - sx.astype(jnp.float32))
+        + ny * (cy - sy.astype(jnp.float32))
+        + nz * d0[:, :, None, :]
+    ) / nz  # (V, Mh, 9, Mw)
 
-    # pair axis: (P, Mh, Mw, 9)
+    # pair axis: (P, Mh, 9, Mw)
     sxp = take(sx)
     syp = take(sy)
     dip = take(d_intrp)
@@ -479,7 +487,7 @@ def consistency_from_cache(
     if ras_rows is None:
         flat = (
             viewb * (h * w) + jnp.clip(yp, 0, h - 1) * w + jnp.clip(xp, 0, w - 1)
-        )  # (P, Mh, Mw, 9)
+        )  # (P, Mh, 9, Mw)
     else:
         row_lo, rows_ext = ras_rows
         inb = inb & (yp >= row_lo) & (yp < row_lo + rows_ext)
@@ -490,12 +498,15 @@ def consistency_from_cache(
     diff = g[..., 0] - dip
     when_visible = (jnp.abs(diff) < fuse).astype(jnp.float32)
     inbf = inb.astype(jnp.float32)
-    visible = jnp.sum(inbf * when_visible * jnp.exp(-diff * diff * alpha), axis=-1)
-    visib_sum = jnp.sum(inbf * when_visible, axis=-1)
-    occl_sum = jnp.sum(inbf * (1.0 - when_visible), axis=-1)
-    cdiff = jnp.sum((g[..., 1:4] - take(ctx.color)[..., None, :]) ** 2, axis=-1)
-    visibility = jnp.sum(inbf * jnp.exp(-cdiff * gamma), axis=-1)
-    num = jnp.sum(inbf, axis=-1)  # (P, Mh, Mw)
+    visible = jnp.sum(inbf * when_visible * jnp.exp(-diff * diff * alpha), axis=2)
+    visib_sum = jnp.sum(inbf * when_visible, axis=2)
+    occl_sum = jnp.sum(inbf * (1.0 - when_visible), axis=2)
+    colp = take(ctx.color)  # (P, Mh, Mw, 3)
+    cdiff = sum(
+        (g[..., 1 + c] - colp[..., c][:, :, None, :]) ** 2 for c in range(3)
+    )
+    visibility = jnp.sum(inbf * jnp.exp(-cdiff * gamma), axis=2)
+    num = jnp.sum(inbf, axis=2)  # (P, Mh, Mw)
 
     contrib = jnp.where(
         visib_sum > 0,

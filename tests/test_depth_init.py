@@ -135,3 +135,32 @@ def test_dense_mode_agrees_with_gather(scene, bl_ratio):
         neib_hor=s.neib_hor, neib_ver=s.neib_ver))
     agree = (exact == dense).mean()
     assert agree > 0.999, f"dense/gather WTA agreement {agree}"
+
+
+@pytest.mark.parametrize("bl_ratio,inc", [(1.0, 1.0), (1.03590, 1.0), (1.03590, 0.5), (0.97, 1.0)])
+def test_strips_mode_equals_dense(scene, bl_ratio, inc):
+    """The strip-gather formulation reads the SAME padded values with the
+    same f32 shift/validity arithmetic as the dense shift-plane sweep; the
+    only admissible difference is reduction-tree rounding (XLA picks a
+    different f32 summation tree per layout), so costs agree to ~1 ulp and
+    the WTA choice must agree everywhere but exact cost ties."""
+    import jax.numpy as jnp
+
+    s, geom, lab, labels, spmap, _ = scene
+    ext = superpixel.superpixel_extent(labels, spmap.center, geom)
+    step = superpixel.extent_step(ext)
+    disp_levels = np.arange(s.min_disp, s.max_disp + inc / 2, inc, dtype=np.float32)
+    max_abs = float(np.max(np.abs(disp_levels)))
+    dense = np.asarray(cost_volume.superpixel_cost_volume_dense(
+        lab, spmap.center, step, jnp.asarray(disp_levels, jnp.float32),
+        s.array_width, bl_ratio, s.neib_hor, s.neib_ver, max_abs))
+    strips = np.asarray(cost_volume.superpixel_cost_volume_strips(
+        lab, spmap.center, step, tuple(float(d) for d in disp_levels),
+        s.array_width, bl_ratio, s.neib_hor, s.neib_ver))
+    np.testing.assert_allclose(strips, dense, rtol=2e-7, atol=1e-3)
+    wta_d = np.asarray(cost_volume.wta_disparity(
+        jnp.asarray(dense), disp_levels, np.full(lab.shape[0], 1)))
+    wta_s = np.asarray(cost_volume.wta_disparity(
+        jnp.asarray(strips), disp_levels, np.full(lab.shape[0], 1)))
+    agree = (wta_d == wta_s).mean()
+    assert agree > 0.999, f"strips/dense WTA agreement {agree}"

@@ -1,0 +1,50 @@
+"""Golden-output parity vs the reference's shipped result PNGs
+(VERDICT round-1 item 3).
+
+These run the FULL pipeline at 1080p (15-view Bar scene for depth init,
+9-view Beer-Garden for fusion) — minutes on the TPU, tens of minutes on
+CPU — so they are slow-marked AND gated behind ``GOLDEN_PARITY=1``.
+Reference miss-rates were measured on the chip and recorded in BASELINE.md
+("Golden parity" section); the thresholds here sit just under those
+measurements so regressions surface.
+
+Caveat on absolute levels: the goldens are the only artifacts the reference
+ever produced, but they come from unlabeled experiment variants
+(``changes notes.txt``) — exact agreement is not expected; large-majority
+within-one-quantum agreement is.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not os.environ.get("GOLDEN_PARITY"),
+        reason="full-res golden parity: set GOLDEN_PARITY=1 (run on the TPU)",
+    ),
+]
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+
+def test_depth_init_parity_vs_initD_dev():
+    import golden_parity as gp
+
+    stats = gp.run_init_parity(per_view=False)["all"]
+    print("init parity:", stats)
+    assert stats["agree_tol"] > 0.60, stats
+    assert stats["mean_abs_quanta"] < 30.0, stats
+
+
+def test_fusion_parity_vs_fus4():
+    import golden_parity as gp
+
+    stats = gp.run_fusion_parity(per_view=False)["all"]
+    print("fusion parity:", stats)
+    assert stats["agree_tol"] > 0.50, stats
+    assert stats["mean_abs_quanta"] < 40.0, stats

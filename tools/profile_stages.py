@@ -1,4 +1,10 @@
-"""Per-stage wall-time profile of the flagship pipeline on the real chip."""
+"""Per-stage wall-time profile of the flagship pipeline on the real chip.
+
+TIMING CAVEAT (round 3): repeat-loop timings through the axon tunnel can
+be memoized away (see CLAUDE.md); numbers here are upper-bound sanity
+checks only.  For trustworthy component timings use the scan-chained
+harness in tools/profile_propagate.py.
+"""
 import sys, time
 import numpy as np
 
