@@ -121,11 +121,17 @@ def main(argv: list[str] | None = None) -> int:
     os.makedirs(args.out, exist_ok=True)
     lo, hi = float(s.min_disp), float(s.max_disp)
     import numpy as np
+    import jax
 
+    # Pull the disparity maps to the host in ONE transfer: slicing a device
+    # array per view issues one tunnel round-trip each (minutes at 1080p
+    # over axon); device_get of the whole array is a single pull.
+    disp_np = np.asarray(jax.device_get(art.disp_full))
+    print("artifacts: disparity maps pulled to host", flush=True)
     for view in range(v):
         save_gray_png(
             os.path.join(args.out, artifacts.STAGE_DIRS["fusion"], f"disp_{view}.png"),
-            np.asarray(art.disp_full[view]), lo, hi,
+            disp_np[view], lo, hi,
         )
     if args.dump_stages:
         from cl_multiview_stereo_tpu.io.images import draw_segmentation_lines, save_png
@@ -148,7 +154,7 @@ def main(argv: list[str] | None = None) -> int:
         )
 
         pts, cols = disparity_to_points(
-            np.asarray(art.disp_full), rgb, s.array_width, s.bl_ratio
+            disp_np, rgb, s.array_width, s.bl_ratio
         )
         save_ply(os.path.join(args.out, "fused.ply"), pts, cols)
         print(f"point cloud: {pts.shape[0]} points")
