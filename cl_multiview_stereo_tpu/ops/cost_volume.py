@@ -375,52 +375,62 @@ def superpixel_cost_volume_strips(
             mode=jax.lax.GatherScatterMode.CLIP,
         )  # starts.shape[:-1] + (length_elems,)
 
-    def axis_pair_acc(gx: int, gy: int):
-        """(V, D?, ...) accumulated sample costs for one axis-aligned delta.
-        Returns acc (D, V, Mh, Mw)."""
+    def axis_pair_acc(gx: int, gy: int, dep):
+        """(D, V, Mh, Mw) accumulated sample costs for one axis-aligned
+        delta, sample axis chunked so each chunk's strip stays ~0.7 GB."""
         dz = gy * ah + gx
         nv = (jnp.arange(v, dtype=jnp.int32) + dz) % v
         sxl, syl = _shift_lists(disp_levels, gx, gy, bl_ratio)
         if gy == 0:
             lo, hi = min(sxl), max(sxl)
-            length = hi - lo + 1
-            starts = jnp.stack(
-                jnp.broadcast_arrays(
-                    nv[:, None, None, None],
-                    yr + max_sy,
-                    3 * (xr - hi + max_sx),
-                ),
-                axis=-1,
-            )
-            strip = strip_gather(padded3, starts, 3 * length)  # (V,Mh,25,Mw,3L)
         else:
             lo, hi = min(syl), max(syl)
-            length = hi - lo + 1
-            starts = jnp.stack(
-                jnp.broadcast_arrays(
-                    nv[:, None, None, None],
-                    xr + max_sx,
-                    3 * (yr - hi + max_sy),
-                ),
-                axis=-1,
-            )
-            strip = strip_gather(padded_t3, starts, 3 * length)
+        length = hi - lo + 1
 
-        # hypothesis loop as lax.scan (ONE compiled body: the unrolled form
-        # was ~50K HLO lines -> pathological TPU compile times, and fusing
-        # the D extractions materialized a 115 GB (N, D, 3) temp)
-        def per_d(_, d):
-            sxd = jnp.ceil(d * gx).astype(jnp.int32)
-            syd = jnp.ceil(bl_ratio * d * gy).astype(jnp.int32)
-            sel_i = (hi - sxd) if gy == 0 else (hi - syd)
-            val = jax.lax.dynamic_slice_in_dim(strip, 3 * sel_i, 3, axis=4)
-            sad = jnp.sum(jnp.abs(c_ref - val), axis=-1)  # (V, Mh, 25, Mw)
-            px = xrf - d * gx
-            py = yrf - bl_ratio * d * gy
-            ok = ref_ok & (px > -1.0) & (px < w) & (py > -1.0) & (py < h)
-            return _, jnp.sum(jnp.where(ok, sad, _OOB_PENALTY), axis=2)
+        acc = jnp.zeros((d_num, v, mh, mw), jnp.float32)
+        for s0_ in range(0, 25, 5):
+            sl = slice(s0_, s0_ + 5)
+            if gy == 0:
+                starts = jnp.stack(
+                    jnp.broadcast_arrays(
+                        nv[:, None, None, None] + dep,
+                        yr[:, :, sl] + max_sy,
+                        3 * (xr[:, :, sl] - hi + max_sx),
+                    ),
+                    axis=-1,
+                )
+                strip = strip_gather(padded3, starts, 3 * length)
+            else:
+                starts = jnp.stack(
+                    jnp.broadcast_arrays(
+                        nv[:, None, None, None] + dep,
+                        xr[:, :, sl] + max_sx,
+                        3 * (yr[:, :, sl] - hi + max_sy),
+                    ),
+                    axis=-1,
+                )
+                strip = strip_gather(padded_t3, starts, 3 * length)
 
-        _, acc = jax.lax.scan(per_d, 0, jnp.asarray(dl32))
+            c_ref_c = c_ref[:, :, sl]
+            xrf_c, yrf_c = xrf[:, :, sl], yrf[:, :, sl]
+            ref_ok_c = ref_ok[:, :, sl]
+
+            # hypothesis loop as lax.scan (ONE compiled body: the unrolled
+            # form was ~50K HLO lines -> pathological TPU compile times)
+            def per_d(_, d):
+                sxd = jnp.ceil(d * gx).astype(jnp.int32)
+                syd = jnp.ceil(bl_ratio * d * gy).astype(jnp.int32)
+                sel_i = (hi - sxd) if gy == 0 else (hi - syd)
+                val = jax.lax.dynamic_slice_in_dim(strip, 3 * sel_i, 3, axis=4)
+                sad = jnp.sum(jnp.abs(c_ref_c - val), axis=-1)
+                px = xrf_c - d * gx
+                py = yrf_c - bl_ratio * d * gy
+                ok = ref_ok_c & (px > -1.0) & (px < w) & (py > -1.0) & (py < h)
+                return _, jnp.sum(jnp.where(ok, sad, _OOB_PENALTY), axis=2)
+
+            _, acc_c = jax.lax.scan(per_d, 0, jnp.asarray(dl32))
+            acc = jax.lax.optimization_barrier(acc + acc_c)
+            dep = (acc[0, 0, 0, 0] * 0.0).astype(jnp.int32)
         return acc  # (D, V, Mh, Mw)
 
     # ---- diagonal deltas: sheared-image strips --------------------------
@@ -490,11 +500,14 @@ def superpixel_cost_volume_strips(
                     a[:, r0:r1], start, 3 * r_rows, axis=2
                 )
             )
-        # stay in x-major pixel-flat form (V, Wp, 3*R): transposing to a
-        # rho-major 4-D layout triggered the same lanes-on-channels blowup
-        return jnp.concatenate(parts, axis=1), off  # (V, Wp, 3*r_rows)
+        sh_t = jnp.concatenate(parts, axis=1)  # (V, Wp, 3*r_rows)
+        # flat 2-D transpose to (V, 3R, Wp): both swapped dims are large,
+        # so the layout stays sane (a (.., Wp, R, 3) 4-D transpose and a
+        # (Lx, 3B) gather tail both triggered 20-110 GB tiled-pad
+        # allocations at compile time)
+        return jnp.swapaxes(sh_t, 1, 2), off  # (V, 3*r_rows, Wp)
 
-    def diag_pair_acc(gx: int, gy: int, sh, off: int):
+    def diag_pair_acc(gx: int, gy: int, sh, off: int, dep):
         sgn = gx * gy
         dz = gy * ah + gx
         nv = (jnp.arange(v, dtype=jnp.int32) + dz) % v
@@ -517,11 +530,13 @@ def superpixel_cost_volume_strips(
             collapsed_slice_dims=(0,),
             start_index_map=(0, 1, 2),
         )
-        # sample axis chunked: the per-chunk patch is ~0.9 GB at 9-view
-        # 1080p (25 samples at once would be ~4.6 GB — round-1 HBM lesson)
+        # one sample per chunk: the (3B, Lx) slice tail tiles at ~5.5x
+        # padding, so a chunk's patch is ~1.2 GB at 9-view 1080p; the
+        # barrier after each chunk keeps them sequential (round-1 HBM
+        # lesson)
         acc = jnp.zeros((d_num, v, mh, mw), jnp.float32)
-        for s0_ in range(0, 25, 5):
-            sl = slice(s0_, s0_ + 5)
+        for s0_ in range(0, 25, 1):
+            sl = slice(s0_, s0_ + 1)
             xr_pad = xrf[:, :, sl] + np.float32(max_sx)  # (V, Mh, 5, Mw)
             sh_xr = shear_g(xr_pad)
             row0 = (
@@ -530,16 +545,16 @@ def superpixel_cost_volume_strips(
             ).astype(jnp.int32) + (off + e_lo)
             starts = jnp.stack(
                 jnp.broadcast_arrays(
-                    nv[:, None, None, None],
-                    xr[:, :, sl] - hi + max_sx,
+                    nv[:, None, None, None] + dep,
                     3 * row0,
+                    xr[:, :, sl] - hi + max_sx,
                 ),
                 axis=-1,
             )
             patch = jax.lax.gather(
-                sh, starts, dn, slice_sizes=(1, length, 3 * bband),
+                sh, starts, dn, slice_sizes=(1, 3 * bband, length),
                 mode=jax.lax.GatherScatterMode.CLIP,
-            )  # (V, Mh, 5, Mw, Lx, 3B) — rows x, band flat-minor
+            )  # (V, Mh, 1, Mw, 3B, Lx)
 
             c_ref_c = c_ref[:, :, sl]
             xrf_c, yrf_c = xrf[:, :, sl], yrf[:, :, sl]
@@ -557,8 +572,8 @@ def superpixel_cost_volume_strips(
                     - np.float32(e_lo)
                 ).astype(jnp.int32)
                 sliced = jax.lax.dynamic_index_in_dim(
-                    patch, hi - sxd, axis=4, keepdims=False
-                )  # (V, Mh, 5, Mw, 3B)
+                    patch, hi - sxd, axis=5, keepdims=False
+                )  # (V, Mh, 1, Mw, 3B)
                 val = jnp.zeros(sliced.shape[:4] + (3,), jnp.float32)
                 for b in range(bband):
                     val = jnp.where(
@@ -577,6 +592,12 @@ def superpixel_cost_volume_strips(
 
             _, acc_c = jax.lax.scan(per_d, 0, jnp.asarray(dl32))
             acc = jax.lax.optimization_barrier(acc + acc_c)
+            # re-derive the gather dependency from the freshly barriered
+            # accumulator so the NEXT chunk's gather cannot be hoisted
+            # ahead of this one (the barrier alone only sequences the
+            # reductions; with hoisted gathers the compiler kept ~10
+            # chunk patches live at once — 12 GB of temps)
+            dep = (acc[0, 0, 0, 0] * 0.0).astype(jnp.int32)
         return acc  # (D, V, Mh, Mw)
 
     vol = jnp.full((d_num, v, mh, mw), _BIG, jnp.float32)
@@ -584,15 +605,16 @@ def superpixel_cost_volume_strips(
     for gx, gy in deltas:
         valid = (0 <= zx + gx) & (zx + gx < ah) & (0 <= zy + gy) & (zy + gy < av)
         valid_j = jnp.asarray(valid)[None, :, None, None]
+        dep = (vol[0, 0, 0, 0] * 0.0).astype(jnp.int32)
         if gx == 0 or gy == 0:
-            acc = axis_pair_acc(gx, gy)
+            acc = axis_pair_acc(gx, gy, dep)
         elif abs(gx) == 1 and abs(gy) == 1 and bl_ratio >= 1.0:
             # the shear staircase assumes e(x) >= 0 (bl >= 1); exotic rigs
             # fall through to the dense sweep below
             sgn = gx * gy
             if sgn not in sh_cache:
                 sh_cache[sgn] = build_sheared(sgn)
-            acc = diag_pair_acc(gx, gy, *sh_cache[sgn])
+            acc = diag_pair_acc(gx, gy, *sh_cache[sgn], dep)
         else:
             acc = jnp.moveaxis(
                 superpixel_cost_volume_dense(
