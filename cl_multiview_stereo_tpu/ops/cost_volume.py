@@ -375,9 +375,12 @@ def superpixel_cost_volume_strips(
             mode=jax.lax.GatherScatterMode.CLIP,
         )  # starts.shape[:-1] + (length_elems,)
 
-    def axis_pair_acc(gx: int, gy: int, dep):
+    def axis_pair_acc(gx: int, gy: int, acc0):
         """(D, V, Mh, Mw) accumulated sample costs for one axis-aligned
-        delta, sample axis chunked so each chunk's strip stays ~0.7 GB."""
+        delta.  Outer lax.scan over 5-sample chunks (the scan body's strip
+        buffer is reused across iterations — unrolled chunk loops left one
+        ~0.75 GB strip alive per chunk, ~6 GB of temps per delta), inner
+        lax.scan over the hypothesis ladder."""
         dz = gy * ah + gx
         nv = (jnp.arange(v, dtype=jnp.int32) + dz) % v
         sxl, syl = _shift_lists(disp_levels, gx, gy, bl_ratio)
@@ -387,15 +390,22 @@ def superpixel_cost_volume_strips(
             lo, hi = min(syl), max(syl)
         length = hi - lo + 1
 
-        acc = jnp.zeros((d_num, v, mh, mw), jnp.float32)
-        for s0_ in range(0, 25, 5):
-            sl = slice(s0_, s0_ + 5)
+        def chunked(a):  # (V, Mh, 25, Mw, ...) -> (5, V, Mh, 5, Mw, ...)
+            return jnp.moveaxis(
+                a.reshape(a.shape[:2] + (5, 5) + a.shape[3:]), 2, 0
+            )
+
+        xs = (chunked(xr), chunked(yr), chunked(c_ref), chunked(ref_ok),
+              chunked(xrf), chunked(yrf))
+
+        def chunk_body(acc, x):
+            xr_c, yr_c, c_ref_c, ref_ok_c, xrf_c, yrf_c = x
             if gy == 0:
                 starts = jnp.stack(
                     jnp.broadcast_arrays(
-                        nv[:, None, None, None] + dep,
-                        yr[:, :, sl] + max_sy,
-                        3 * (xr[:, :, sl] - hi + max_sx),
+                        nv[:, None, None, None],
+                        yr_c + max_sy,
+                        3 * (xr_c - hi + max_sx),
                     ),
                     axis=-1,
                 )
@@ -403,20 +413,14 @@ def superpixel_cost_volume_strips(
             else:
                 starts = jnp.stack(
                     jnp.broadcast_arrays(
-                        nv[:, None, None, None] + dep,
-                        xr[:, :, sl] + max_sx,
-                        3 * (yr[:, :, sl] - hi + max_sy),
+                        nv[:, None, None, None],
+                        xr_c + max_sx,
+                        3 * (yr_c - hi + max_sy),
                     ),
                     axis=-1,
                 )
                 strip = strip_gather(padded_t3, starts, 3 * length)
 
-            c_ref_c = c_ref[:, :, sl]
-            xrf_c, yrf_c = xrf[:, :, sl], yrf[:, :, sl]
-            ref_ok_c = ref_ok[:, :, sl]
-
-            # hypothesis loop as lax.scan (ONE compiled body: the unrolled
-            # form was ~50K HLO lines -> pathological TPU compile times)
             def per_d(_, d):
                 sxd = jnp.ceil(d * gx).astype(jnp.int32)
                 syd = jnp.ceil(bl_ratio * d * gy).astype(jnp.int32)
@@ -429,8 +433,9 @@ def superpixel_cost_volume_strips(
                 return _, jnp.sum(jnp.where(ok, sad, _OOB_PENALTY), axis=2)
 
             _, acc_c = jax.lax.scan(per_d, 0, jnp.asarray(dl32))
-            acc = jax.lax.optimization_barrier(acc + acc_c)
-            dep = (acc[0, 0, 0, 0] * 0.0).astype(jnp.int32)
+            return acc + acc_c, None
+
+        acc, _ = jax.lax.scan(chunk_body, acc0 * 0.0, xs)
         return acc  # (D, V, Mh, Mw)
 
     # ---- diagonal deltas: sheared-image strips --------------------------
@@ -507,7 +512,7 @@ def superpixel_cost_volume_strips(
         # allocations at compile time)
         return jnp.swapaxes(sh_t, 1, 2), off  # (V, 3*r_rows, Wp)
 
-    def diag_pair_acc(gx: int, gy: int, sh, off: int, dep):
+    def diag_pair_acc(gx: int, gy: int, sh, off: int, acc0):
         sgn = gx * gy
         dz = gy * ah + gx
         nv = (jnp.arange(v, dtype=jnp.int32) + dz) % v
@@ -515,10 +520,10 @@ def superpixel_cost_volume_strips(
         lo, hi = min(sxl), max(sxl)
         length = hi - lo + 1
         # exact band: rho_i - rho_base over every possible padded column
-        xs = np.arange(wp, dtype=np.float32)
-        sh_xs = shear_np(xs)
+        xs_np = np.arange(wp, dtype=np.float32)
+        sh_xs = shear_np(xs_np)
         offs_i = [
-            -sy_i - sgn * (shear_np(xs - np.float32(sx_i)) - sh_xs)
+            -sy_i - sgn * (shear_np(xs_np - np.float32(sx_i)) - sh_xs)
             for sx_i, sy_i in zip(sxl, syl)
         ]
         e_lo = int(min(o.min() for o in offs_i))
@@ -530,24 +535,27 @@ def superpixel_cost_volume_strips(
             collapsed_slice_dims=(0,),
             start_index_map=(0, 1, 2),
         )
-        # one sample per chunk: the (3B, Lx) slice tail tiles at ~5.5x
-        # padding, so a chunk's patch is ~1.2 GB at 9-view 1080p; the
-        # barrier after each chunk keeps them sequential (round-1 HBM
-        # lesson)
-        acc = jnp.zeros((d_num, v, mh, mw), jnp.float32)
-        for s0_ in range(0, 25, 1):
-            sl = slice(s0_, s0_ + 1)
-            xr_pad = xrf[:, :, sl] + np.float32(max_sx)  # (V, Mh, 5, Mw)
+
+        def chunked(a):  # (V, Mh, 25, Mw, ...) -> (25, V, Mh, 1, Mw, ...)
+            return jnp.moveaxis(a[:, :, :, None], 2, 0)
+
+        xs = (chunked(xr), chunked(yr), chunked(c_ref), chunked(ref_ok),
+              chunked(xrf), chunked(yrf))
+
+        # outer scan over the 25 samples (the body's ~1.2 GB padded patch
+        # is reused across iterations), inner scan over the ladder
+        def chunk_body(acc, x):
+            xr_c, yr_c, c_ref_c, ref_ok_c, xrf_c, yrf_c = x
+            xr_pad = xrf_c + np.float32(max_sx)  # (V, Mh, 1, Mw)
             sh_xr = shear_g(xr_pad)
             row0 = (
-                (yr[:, :, sl] + max_sy).astype(jnp.float32)
-                - np.float32(sgn) * sh_xr
+                (yr_c + max_sy).astype(jnp.float32) - np.float32(sgn) * sh_xr
             ).astype(jnp.int32) + (off + e_lo)
             starts = jnp.stack(
                 jnp.broadcast_arrays(
-                    nv[:, None, None, None] + dep,
+                    nv[:, None, None, None],
                     3 * row0,
-                    xr[:, :, sl] - hi + max_sx,
+                    xr_c - hi + max_sx,
                 ),
                 axis=-1,
             )
@@ -555,10 +563,6 @@ def superpixel_cost_volume_strips(
                 sh, starts, dn, slice_sizes=(1, 3 * bband, length),
                 mode=jax.lax.GatherScatterMode.CLIP,
             )  # (V, Mh, 1, Mw, 3B, Lx)
-
-            c_ref_c = c_ref[:, :, sl]
-            xrf_c, yrf_c = xrf[:, :, sl], yrf[:, :, sl]
-            ref_ok_c = ref_ok[:, :, sl]
 
             def per_d(_, d):
                 sxd = jnp.ceil(d * gx).astype(jnp.int32)
@@ -584,20 +588,13 @@ def superpixel_cost_volume_strips(
                 sad = jnp.sum(jnp.abs(c_ref_c - val), axis=-1)
                 px = xrf_c - d * gx
                 py = yrf_c - bl_ratio * d * gy
-                ok = (
-                    ref_ok_c
-                    & (px > -1.0) & (px < w) & (py > -1.0) & (py < h)
-                )
+                ok = ref_ok_c & (px > -1.0) & (px < w) & (py > -1.0) & (py < h)
                 return _, jnp.sum(jnp.where(ok, sad, _OOB_PENALTY), axis=2)
 
             _, acc_c = jax.lax.scan(per_d, 0, jnp.asarray(dl32))
-            acc = jax.lax.optimization_barrier(acc + acc_c)
-            # re-derive the gather dependency from the freshly barriered
-            # accumulator so the NEXT chunk's gather cannot be hoisted
-            # ahead of this one (the barrier alone only sequences the
-            # reductions; with hoisted gathers the compiler kept ~10
-            # chunk patches live at once — 12 GB of temps)
-            dep = (acc[0, 0, 0, 0] * 0.0).astype(jnp.int32)
+            return acc + acc_c, None
+
+        acc, _ = jax.lax.scan(chunk_body, acc0 * 0.0, xs)
         return acc  # (D, V, Mh, Mw)
 
     vol = jnp.full((d_num, v, mh, mw), _BIG, jnp.float32)
@@ -605,16 +602,15 @@ def superpixel_cost_volume_strips(
     for gx, gy in deltas:
         valid = (0 <= zx + gx) & (zx + gx < ah) & (0 <= zy + gy) & (zy + gy < av)
         valid_j = jnp.asarray(valid)[None, :, None, None]
-        dep = (vol[0, 0, 0, 0] * 0.0).astype(jnp.int32)
         if gx == 0 or gy == 0:
-            acc = axis_pair_acc(gx, gy, dep)
+            acc = axis_pair_acc(gx, gy, vol)
         elif abs(gx) == 1 and abs(gy) == 1 and bl_ratio >= 1.0:
             # the shear staircase assumes e(x) >= 0 (bl >= 1); exotic rigs
             # fall through to the dense sweep below
             sgn = gx * gy
             if sgn not in sh_cache:
                 sh_cache[sgn] = build_sheared(sgn)
-            acc = diag_pair_acc(gx, gy, *sh_cache[sgn], dep)
+            acc = diag_pair_acc(gx, gy, *sh_cache[sgn], vol)
         else:
             acc = jnp.moveaxis(
                 superpixel_cost_volume_dense(
