@@ -98,14 +98,20 @@ def main(argv: list[str] | None = None) -> int:
             run_sfm,
         )
 
-        res = run_sfm(rgb, s)
+        res = run_sfm(
+            rgb, s, baseline=s.sfm_baseline, intrinsics=_intrinsics_from(s, w, h)
+        )
         print(
             f"sfm: {res.n_matches} matches, reprojection RMS "
             f"{res.rms_before:.3f} -> {res.rms_after:.3f} px, "
             f"ATE vs grid prior {res.ate_vs_grid:.4f}"
         )
         view_subset, _ = build_view_subsets(s)
-        pair_deltas = pairs_from_poses(res.t, view_subset, 1.0, s.bl_ratio)
+        # the same baseline scales both the BA gauge above and the pair
+        # deltas here — one knob (s.sfm_baseline), never two literals
+        pair_deltas = pairs_from_poses(
+            res.t, view_subset, s.sfm_baseline, s.bl_ratio, aa=res.aa
+        )
 
     pipe = MVSPipeline.create(
         w, h, s, cross_check=args.cross_check, pair_deltas=pair_deltas
@@ -175,16 +181,28 @@ def main(argv: list[str] | None = None) -> int:
     return 0
 
 
+def _intrinsics_from(s, w: int, h: int):
+    """(fx, fy, cx, cy) from the config's ``sfm_focal``, or None for the
+    run_sfm default FOV prior."""
+    if s.sfm_focal is None:
+        return None
+    import numpy as np
+
+    return np.asarray([s.sfm_focal, s.sfm_focal, w / 2.0, h / 2.0], np.float32)
+
+
 def _run_sfm_cmd(args, s, rgb) -> int:
     """``sfm`` subcommand: front-end + BA, metrics printed, poses saved."""
     import numpy as np
 
     from cl_multiview_stereo_tpu.models.sfm_pipeline import run_sfm
 
+    h, w = rgb.shape[1:3]
     t0 = time.perf_counter()
     res = run_sfm(
         rgb, s, k=args.keypoints, ba_iters=args.ba_iters,
         fix_rotations=not args.free_rotations,
+        baseline=s.sfm_baseline, intrinsics=_intrinsics_from(s, w, h),
     )
     dt = time.perf_counter() - t0
     print(f"sfm done in {dt:.2f}s: {res.n_matches} pairwise matches")

@@ -67,6 +67,12 @@ class SystemSettings:
     alpha: float = 6.0
     no_prop: int = 5
 
+    # --- SfM front-end (north-star extension; absent from the reference) ---
+    # focal length in pixels (fx = fy); None -> the f = max(h, w) FOV prior
+    sfm_focal: float | None = None
+    # metric scale of one camera-grid step (the BA gauge + pair-delta unit)
+    sfm_baseline: float = 1.0
+
     @property
     def view_num(self) -> int:
         return self.array_width * self.array_height

@@ -25,6 +25,7 @@ import numpy as np
 
 from cl_multiview_stereo_tpu.config import SystemSettings, build_view_subsets
 from cl_multiview_stereo_tpu.models import sfm
+from cl_multiview_stereo_tpu.models.sfm import rodrigues
 from cl_multiview_stereo_tpu.ops.features import harris_keypoints, match_pairs
 
 
@@ -64,6 +65,7 @@ def run_sfm(
     pose_seed: tuple[np.ndarray, np.ndarray] | None = None,
     fix_rotations: bool = True,
     outlier_px: float = 6.0,
+    intrinsics: np.ndarray | None = None,
 ) -> SfmResult:
     """Full SfM on a (V, H, W, 3) uint8 camera-array batch.
 
@@ -88,8 +90,14 @@ def run_sfm(
     # ATE is always reported against the clean grid prior)
     grid_aa, grid_t = sfm.grid_rig_poses(v, s.array_width, baseline, s.bl_ratio)
     aa0, t0 = pose_seed if pose_seed is not None else (grid_aa, grid_t)
-    f = float(max(h, w))
-    intr = np.asarray([f, f, w / 2.0, h / 2.0], np.float32)
+    if intrinsics is not None:
+        intr = np.asarray(intrinsics, np.float32)
+        assert intr.shape == (4,), "intrinsics = (fx, fy, cx, cy)"
+    else:
+        # default guess when no calibration is configured: f = max(h, w)
+        # (a wide-normal FOV prior), principal point at the image center
+        f = float(max(h, w))
+        intr = np.asarray([f, f, w / 2.0, h / 2.0], np.float32)
 
     # Track building (shape-static): a 3D point is anchored to the FIRST
     # view's keypoint — point id = a*K + idx_a for a match in pair (a, b).
@@ -179,26 +187,40 @@ def pairs_from_poses(
     view_subset: np.ndarray,
     baseline: float,
     bl_ratio: float,
+    aa: np.ndarray | None = None,
 ) -> tuple:
-    """Recovered translations -> the static (ref, view, dvx, dvy) pair list
-    the refinement consistency term consumes (refine.pairs_from_subsets
+    """Recovered poses -> the static (ref, view, dvx, dvy) pair list the
+    refinement consistency term consumes (refine.pairs_from_subsets
     produces the integer-grid special case of this).
 
     The reference projects view n's sample at ``(x - d*dvx,
     y - bl_ratio*d*dvy)`` (clcode.cl:1033-1034) where dvx/dvy are camera-grid
-    deltas; with explicit poses (R = I rig), camera centers are ``-t`` so
-    ``dvx = (t_z - t_n).x / baseline`` and the vertical delta divides out the
-    ``bl_ratio`` the scorer multiplies back in.
+    deltas.  With explicit poses, the delta is the baseline vector between
+    camera centers ``C_i = -R_i^T t_i`` expressed in the reference view's
+    frame: ``R_z (C_n - C_z) / baseline``; the vertical component divides
+    out the ``bl_ratio`` the scorer multiplies back in.  ``aa`` (axis-angle,
+    from a ``fix_rotations=False`` BA run) supplies the rotations; omitted,
+    the rig is R = I and centers reduce to ``-t``.
     """
     t = np.asarray(t)
     vs = np.asarray(view_subset)
+    if aa is None:
+        centers = -t
+        rot = np.broadcast_to(np.eye(3, dtype=t.dtype), (t.shape[0], 3, 3))
+    else:
+        rot = np.asarray(jax.vmap(rodrigues)(jnp.asarray(aa)))
+        centers = -np.einsum("vij,vi->vj", rot, t)  # -R^T t
     pairs = []
     for z in range(vs.shape[0]):
         for n_ in vs[z]:
             if n_ < 0:
                 continue
             n_ = int(n_)
-            dvx = float((t[z, 0] - t[n_, 0]) / baseline)
-            dvy = float((t[z, 1] - t[n_, 1]) / (baseline * bl_ratio))
-            pairs.append((z, n_, dvx, dvy))
+            delta = rot[z] @ (centers[n_] - centers[z])
+            pairs.append((
+                z,
+                n_,
+                float(delta[0] / baseline),
+                float(delta[1] / (baseline * bl_ratio)),
+            ))
     return tuple(pairs)

@@ -597,6 +597,25 @@ def superpixel_cost_volume_strips(
         acc, _ = jax.lax.scan(chunk_body, acc0 * 0.0, xs)
         return acc  # (D, V, Mh, Mw)
 
+    def diag_band_width(gx: int, gy: int) -> int:
+        """Host-side bband for a diagonal delta: the per-hypothesis select in
+        ``diag_pair_acc`` unrolls ``bband`` jnp.where's per ladder level, and
+        bband grows as ~``(bl_ratio - 1) * shift_span`` — a large-bl rig
+        would blow up compile size, so the dispatch caps it (advisor r3)."""
+        sgn = gx * gy
+        sxl, syl = _shift_lists(disp_levels, gx, gy, bl_ratio)
+        xs_np = np.arange(wp, dtype=np.float32)
+        sh_xs = shear_np(xs_np)
+        offs_i = [
+            -sy_i - sgn * (shear_np(xs_np - np.float32(sx_i)) - sh_xs)
+            for sx_i, sy_i in zip(sxl, syl)
+        ]
+        return int(max(o.max() for o in offs_i)) - int(
+            min(o.min() for o in offs_i)
+        ) + 1
+
+    _BBAND_CAP = 12
+
     vol = jnp.full((d_num, v, mh, mw), _BIG, jnp.float32)
     sh_cache: dict = {}
     for gx, gy in deltas:
@@ -604,9 +623,12 @@ def superpixel_cost_volume_strips(
         valid_j = jnp.asarray(valid)[None, :, None, None]
         if gx == 0 or gy == 0:
             acc = axis_pair_acc(gx, gy, vol)
-        elif abs(gx) == 1 and abs(gy) == 1 and bl_ratio >= 1.0:
-            # the shear staircase assumes e(x) >= 0 (bl >= 1); exotic rigs
-            # fall through to the dense sweep below
+        elif (
+            abs(gx) == 1 and abs(gy) == 1 and bl_ratio >= 1.0
+            and diag_band_width(gx, gy) <= _BBAND_CAP
+        ):
+            # the shear staircase assumes e(x) >= 0 (bl >= 1) and a narrow
+            # band; exotic rigs fall through to the dense sweep below
             sgn = gx * gy
             if sgn not in sh_cache:
                 sh_cache[sgn] = build_sheared(sgn)
@@ -661,7 +683,11 @@ def initial_depth_estimation(
 
     ``method``: ``"gather"`` is the direct per-sample gather form;
     ``"dense"`` the shift-plane TPU formulation (same exact semantics,
-    ~30x faster at 1080p).  ``disp_levels`` must be concrete (numpy): it
+    ~30x faster at 1080p); ``"strips"`` the strip-gather form — CAUTION:
+    at full 9-view 1080p scale the strips run has crashed the TPU worker
+    from runtime memory pressure (BASELINE.md round 3); it stays opt-in
+    until tools/memcheck.py and a full-scale bench revalidate it.
+    ``disp_levels`` must be concrete (numpy): it
     sets the static padding bound even when the caller is being traced.
     Returns (V, Mh, Mw) float32 initial disparity (the reference's
     ``spixl_map.s7``).
