@@ -48,6 +48,10 @@ def main(argv: list[str] | None = None) -> int:
                      help="write per-stage PNG artifacts (reference results/ tree)")
     run.add_argument("--checkpoint", action="store_true",
                      help="save stage arrays as npz for resume/inspection")
+    run.add_argument("--resume", metavar="NPZ",
+                     help="re-enter the pipeline from a --checkpoint npz: "
+                          "the deepest stage present is skipped, later "
+                          "stages recompute")
     run.add_argument("--cross-check", action="store_true",
                      help="enable the cross-view fusion vote (the reference's "
                           "disabled-but-intended path)")
@@ -117,7 +121,10 @@ def main(argv: list[str] | None = None) -> int:
         w, h, s, cross_check=args.cross_check, pair_deltas=pair_deltas
     )
     t0 = time.perf_counter()
-    art = pipe.run(rgb)
+    if getattr(args, "resume", None):
+        art = pipe.resume(rgb, args.resume)
+    else:
+        art = pipe.run(rgb)
     import jax
 
     jax.block_until_ready(art.disp_full)
@@ -170,6 +177,7 @@ def main(argv: list[str] | None = None) -> int:
             labels=art.labels,
             center=art.spmap.center,
             color=art.spmap.color,
+            count=art.spmap.count,
             disp_init=art.disp_init,
             state_d=art.state.d,
             state_sm=art.state.sm,

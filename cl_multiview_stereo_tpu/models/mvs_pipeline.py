@@ -69,8 +69,15 @@ class MVSPipeline:
         return cls(settings=s, geom=DerivedGeometry.create(img_w, img_h, s), **kw)
 
     # ------------------------------------------------------------------
-    def run(self, rgb: jax.Array | np.ndarray) -> PipelineArtifacts:
-        """Full pipeline on a (V, H, W, 3) uint8 RGB camera-array batch."""
+    def run(
+        self, rgb: jax.Array | np.ndarray, _ckpt: dict | None = None
+    ) -> PipelineArtifacts:
+        """Full pipeline on a (V, H, W, 3) uint8 RGB camera-array batch.
+
+        ``_ckpt``: optional checkpoint dict (``utils.artifacts.load_checkpoint``)
+        — stages whose outputs are present are re-entered instead of
+        recomputed (``resume()`` is the public wrapper).
+        """
         s = self.settings
         geom = self.geom
         sched = RefinementSchedule.create(s)
@@ -80,23 +87,38 @@ class MVSPipeline:
         view_subset_np, subset_num_np = build_view_subsets(s)
         view_subset = jnp.asarray(view_subset_np)
         subset_num = jnp.asarray(subset_num_np)
+        ck = _ckpt or {}
 
         lab = rgb_to_lab(jnp.asarray(rgb))
-        labels, spmap = slic.segment(lab, geom, SlicParams.create(s))
+        if "labels" in ck and "center" in ck:
+            labels = jnp.asarray(ck["labels"])
+            spmap = slic.SuperpixelMap(
+                center=jnp.asarray(ck["center"]),
+                color=jnp.asarray(ck["color"]),
+                count=jnp.asarray(
+                    ck.get("count", np.zeros(ck["center"].shape[:3], np.float32))
+                ),
+                disp=jnp.zeros(ck["center"].shape[:3], jnp.float32),
+            )
+        else:
+            labels, spmap = slic.segment(lab, geom, SlicParams.create(s))
         extent = superpixel.superpixel_extent(labels, spmap.center, geom)
-        disp_init = cost_volume.initial_depth_estimation(
-            lab,
-            spmap.center,
-            extent,
-            disp_levels,
-            view_subset,
-            subset_num,
-            s.array_width,
-            s.bl_ratio,
-            method=self.depth_method,
-            neib_hor=s.neib_hor,
-            neib_ver=s.neib_ver,
-        )
+        if "disp_init" in ck:
+            disp_init = jnp.asarray(ck["disp_init"])
+        else:
+            disp_init = cost_volume.initial_depth_estimation(
+                lab,
+                spmap.center,
+                extent,
+                disp_levels,
+                view_subset,
+                subset_num,
+                s.array_width,
+                s.bl_ratio,
+                method=self.depth_method,
+                neib_hor=s.neib_hor,
+                neib_ver=s.neib_ver,
+            )
         flatness = refine.compute_flatness(spmap.color, sched.gamma_eff)
         # SLIC label-locality bound for the gather-free per-pixel lookups:
         # assignment confines labels to the 3x3 cell window (radius 1); each
@@ -122,10 +144,18 @@ class MVSPipeline:
             pairs = self.pair_deltas
         else:
             pairs = refine.pairs_from_subsets(view_subset_np, s.array_width)
-        state = refine.refine(
-            ctx, sched, pairs=pairs,
-            spixl_size=s.spixl_size, label_radius=label_radius,
-        )
+        if "state_d" in ck:
+            state = refine.RefineState(
+                d=jnp.asarray(ck["state_d"]),
+                sm=jnp.asarray(ck["state_sm"]),
+                cs=jnp.asarray(ck["state_cs"]),
+                n=jnp.asarray(ck["state_n"]),
+            )
+        else:
+            state = refine.refine(
+                ctx, sched, pairs=pairs,
+                spixl_size=s.spixl_size, label_radius=label_radius,
+            )
         disp_full = fusion.fuse_views(
             labels,
             spmap.center,
@@ -148,6 +178,21 @@ class MVSPipeline:
             state=state,
             disp_full=disp_full,
         )
+
+    def resume(
+        self, rgb: jax.Array | np.ndarray, checkpoint_path: str
+    ) -> PipelineArtifacts:
+        """Re-enter the pipeline from a saved checkpoint
+        (``utils.artifacts.save_checkpoint`` / CLI ``--checkpoint``): the
+        deepest stage whose outputs the npz holds is skipped, everything
+        after it recomputes.  With a full post-refinement checkpoint only
+        fusion runs; with a post-SLIC one (labels/center/color) depth init
+        onward runs.  Matches the straight-through ``run()`` bitwise for
+        the skipped prefix (tests/test_checkpoint_resume.py).
+        """
+        from cl_multiview_stereo_tpu.utils.artifacts import load_checkpoint
+
+        return self.run(rgb, _ckpt=load_checkpoint(checkpoint_path))
 
     def jitted(self):
         """One-jit end-to-end forward: (V, H, W, 3) uint8 -> PipelineArtifacts.
