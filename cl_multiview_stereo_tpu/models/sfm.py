@@ -192,9 +192,88 @@ def _assemble(p: BAProblem, r, jc, jp, n_cam: int, n_pt: int, psum=None):
     return hcc, hpp, bc, bp
 
 
+def _point_slots(obs_pt: jax.Array, max_deg: int):
+    """Sort observations by point and rank each within its point group.
+
+    Returns ``(order, slot)`` with ``slot[i] < max_deg`` for every
+    observation of a point with degree <= ``max_deg``.  Observations past
+    ``max_deg`` (caller sized it wrong) are clamped to the last slot —
+    their couplings then merge, so callers must pass the true max degree
+    (``run_sfm`` computes it from the match table).
+    """
+    order = jnp.argsort(obs_pt)
+    pt_s = obs_pt[order]
+    first = jnp.searchsorted(pt_s, pt_s, side="left")
+    slot = jnp.minimum(
+        jnp.arange(pt_s.shape[0], dtype=jnp.int32) - first.astype(jnp.int32),
+        max_deg - 1,
+    )
+    return order, pt_s, slot
+
+
+def _schur_corr_blocked(
+    pt_s, cam_s, y_s, w_s, n_cam: int, n_pt: int, slot, max_deg: int,
+    psum=None, chunk: int = 2048,
+):
+    """The camera-coupling correction ``S -= sum_j Y_j Hpp_j^-1 W_j^T`` in a
+    BLOCKED form: per-point compact slot tables (P, D, 6, 3) with D = max
+    observations per point, then a point-chunked scan accumulating (6, 6)
+    blocks into the (C, C) camera-pair grid.  Replaces the (P, 6C, 3)
+    scatter-add that capped the solver at C <= ~128 (VERDICT r3 item 8):
+    memory is now O(P*D) + O(chunk*D^2) regardless of camera count, so the
+    100+ camera multi-scene configuration fits.
+
+    Sharded use: the caller scatters LOCAL observations with GLOBAL slot
+    ids and psums the slot tables — each (point, slot) cell is written by
+    exactly one shard, so the psum reconstructs the global tables exactly.
+    """
+    y_d = jnp.zeros((n_pt, max_deg, 6, 3), y_s.dtype).at[pt_s, slot].add(y_s)
+    w_d = jnp.zeros((n_pt, max_deg, 6, 3), w_s.dtype).at[pt_s, slot].add(w_s)
+    # camera id per slot (-1 = empty); +1 trick keeps 0 a valid camera
+    cam_d = (
+        jnp.zeros((n_pt, max_deg), jnp.int32).at[pt_s, slot].add(cam_s + 1) - 1
+    )
+    if psum is not None:
+        y_d, w_d = psum(y_d), psum(w_d)
+        cam_d = psum(cam_d + 1) - 1  # empty cells stay -1 across shards
+    n_chunk = -(-n_pt // chunk)
+    pad = n_chunk * chunk - n_pt
+    if pad:
+        y_d = jnp.pad(y_d, ((0, pad), (0, 0), (0, 0), (0, 0)))
+        w_d = jnp.pad(w_d, ((0, pad), (0, 0), (0, 0), (0, 0)))
+        cam_d = jnp.pad(cam_d, ((0, pad), (0, 0)), constant_values=-1)
+
+    def body(s_acc, q0):
+        y_c = jax.lax.dynamic_slice_in_dim(y_d, q0, chunk, axis=0)
+        w_c = jax.lax.dynamic_slice_in_dim(w_d, q0, chunk, axis=0)
+        cam_c = jax.lax.dynamic_slice_in_dim(cam_d, q0, chunk, axis=0)
+        contrib = jnp.einsum("qaij,qbkj->qabik", y_c, w_c)  # (Q, D, D, 6, 6)
+        ok = (cam_c[:, :, None] >= 0) & (cam_c[:, None, :] >= 0)
+        blk = jnp.clip(cam_c[:, :, None], 0, n_cam - 1) * n_cam + jnp.clip(
+            cam_c[:, None, :], 0, n_cam - 1
+        )
+        s_acc = s_acc + jax.ops.segment_sum(
+            jnp.where(ok[..., None, None], contrib, 0.0).reshape(-1, 6, 6),
+            blk.reshape(-1),
+            num_segments=n_cam * n_cam,
+        )
+        return s_acc, None
+
+    s0 = jnp.zeros((n_cam * n_cam, 6, 6), y_s.dtype)
+    s_blocks, _ = jax.lax.scan(
+        body, s0, jnp.arange(n_chunk, dtype=jnp.int32) * chunk
+    )
+    # (C*C, 6, 6) -> (6C, 6C)
+    return (
+        s_blocks.reshape(n_cam, n_cam, 6, 6)
+        .transpose(0, 2, 1, 3)
+        .reshape(n_cam * 6, n_cam * 6)
+    )
+
+
 def _schur_solve(
     p: BAProblem, r, jc, jp, n_cam, n_pt, damping, psum=None,
-    fix_rotations: bool = False,
+    fix_rotations: bool = False, max_deg: int = 16, slot_info=None,
 ):
     hcc, hpp, bc, bp = _assemble(p, r, jc, jp, n_cam, n_pt, psum)
 
@@ -226,21 +305,21 @@ def _schur_solve(
         rhs_corr = psum(rhs_corr)
     rhs = bc.reshape(-1) - rhs_corr
 
-    # Dense S: accumulate per-point (C6 x C6) contributions.  P_cp[j] holds
-    # sum of Y over obs of (cam, point); build (P, C, 6, 3) only implicitly
-    # via two segment sums into a (C, P, ...) layout kept sparse by points'
-    # few observers — for moderate C we materialize (P, C6, 3), acceptable
-    # for the supported problem sizes (C <= ~128).
-    c6 = n_cam * 6
-    y_flat = jnp.zeros((n_pt, c6, 3), y_obs.dtype)
-    rows = (p.obs_cam[:, None] * 6 + jnp.arange(6)[None, :]).reshape(-1)
-    pts = jnp.repeat(p.obs_pt, 6)
-    y_flat = y_flat.at[pts, rows].add(y_obs.reshape(-1, 3))
-    w_flat = jnp.zeros((n_pt, c6, 3), w_obs.dtype)
-    w_flat = w_flat.at[pts, rows].add(w_obs.reshape(-1, 3))
-    if psum is not None:
-        y_flat, w_flat = psum(y_flat), psum(w_flat)
-    s_corr = jnp.einsum("pik,pjk->ij", y_flat, w_flat)  # (6C, 6C)
+    # Blocked Schur coupling: per-point slot tables instead of a (P, 6C, 3)
+    # scatter (see _schur_corr_blocked).  Single-device: sort obs by point
+    # here; sharded: the caller pre-sorted globally and passes global slots.
+    if slot_info is None:
+        order, pt_s, slot = _point_slots(p.obs_pt, max_deg)
+        s_corr = _schur_corr_blocked(
+            pt_s, p.obs_cam[order], y_obs[order], w_obs[order],
+            n_cam, n_pt, slot, max_deg,
+        )
+    else:
+        slot = slot_info
+        s_corr = _schur_corr_blocked(
+            p.obs_pt, p.obs_cam, y_obs, w_obs,
+            n_cam, n_pt, slot, max_deg, psum=psum,
+        )
 
     hcc_d = hcc + lam * jnp.eye(6)[None] * jnp.maximum(
         jnp.trace(hcc, axis1=-2, axis2=-1)[..., None, None] / 6.0, 1e-6
@@ -278,19 +357,26 @@ def _schur_solve(
     return dc, dx
 
 
-@partial(jax.jit, static_argnames=("iters", "fix_rotations"))
+@partial(jax.jit, static_argnames=("iters", "fix_rotations", "max_deg"))
 def bundle_adjust(
     p: BAProblem, iters: int = 10, damping: float = 1e-3,
-    fix_rotations: bool = False,
+    fix_rotations: bool = False, max_deg: int = 16,
 ) -> BAProblem:
-    """Levenberg-damped Gauss-Newton BA (single device)."""
+    """Levenberg-damped Gauss-Newton BA (single device).
+
+    ``max_deg``: static bound on observations per point (the slot width of
+    the blocked Schur assembly) — pass the true maximum track length;
+    points beyond it get their extra couplings merged (run_sfm computes it
+    exactly from the match table).
+    """
     n_cam = p.aa.shape[0]
     n_pt = p.X.shape[0]
 
     def step(prob, _):
         r, jc, jp = _obs_blocks(prob)
         dc, dx = _schur_solve(
-            prob, r, jc, jp, n_cam, n_pt, damping, fix_rotations=fix_rotations
+            prob, r, jc, jp, n_cam, n_pt, damping,
+            fix_rotations=fix_rotations, max_deg=max_deg,
         )
         new = prob._replace(
             aa=prob.aa + dc[:, :3], t=prob.t + dc[:, 3:], X=prob.X + dx
@@ -316,12 +402,19 @@ def bundle_adjust(
 
 def bundle_adjust_sharded(
     p: BAProblem, mesh, iters: int = 10, damping: float = 1e-3,
-    fix_rotations: bool = False,
+    fix_rotations: bool = False, max_deg: int = 16,
 ):
     """Distributed BA: observations sharded over the mesh's ``view`` axis,
     every normal-equation accumulation reduced with ``psum`` over ICI;
     camera/point state replicated (BASELINE north star: per-chip camera
-    blocks, Schur reduction via collectives)."""
+    blocks, Schur reduction via collectives).
+
+    Observations are globally sorted by point id up front so every shard
+    scatters into the blocked Schur slot tables with GLOBAL slot ranks —
+    each (point, slot) cell is written by exactly one shard and the psum
+    reconstructs the exact global coupling (see _schur_corr_blocked); the
+    psum payload is O(P * max_deg), independent of camera count.
+    """
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
@@ -329,14 +422,27 @@ def bundle_adjust_sharded(
     n_pt = p.X.shape[0]
     n_dev = mesh.shape["view"]
     n_obs = p.obs_cam.shape[0]
+    # global point-sort + slot ranks BEFORE sharding (order is irrelevant
+    # to every segment/scatter accumulation; only the slots need it)
+    order, pt_sorted, slot = _point_slots(p.obs_pt, max_deg)
+    p = p._replace(
+        obs_cam=p.obs_cam[order],
+        obs_pt=pt_sorted,
+        obs_uv=p.obs_uv[order],
+        obs_w=p.obs_w[order],
+    )
     pad = (-n_obs) % n_dev
     if pad:
         p = p._replace(
             obs_cam=jnp.pad(p.obs_cam, (0, pad)),
-            obs_pt=jnp.pad(p.obs_pt, (0, pad)),
+            # out-of-bounds point id: every scatter/segment-sum DROPS the
+            # padded rows (their obs_w = 0 zeroes the dense sums anyway,
+            # but the slot-table cam ids must not collide with real cells)
+            obs_pt=jnp.pad(p.obs_pt, (0, pad), constant_values=n_pt),
             obs_uv=jnp.pad(p.obs_uv, ((0, pad), (0, 0))),
             obs_w=jnp.pad(p.obs_w, (0, pad)),
         )
+        slot = jnp.pad(slot, (0, pad), constant_values=max_deg - 1)
 
     psum = partial(jax.lax.psum, axis_name="view")
 
@@ -345,16 +451,16 @@ def bundle_adjust_sharded(
         mesh=mesh,
         in_specs=(
             P(), P(), P(), P(),  # aa, t, X, intr (replicated)
-            P("view"), P("view"), P("view"), P("view"),  # observations
+            P("view"), P("view"), P("view"), P("view"), P("view"),  # obs
         ),
         out_specs=(P(), P()),
     )
-    def one_round(aa, t, X, intr, ocam, opt, ouv, ow):
+    def one_round(aa, t, X, intr, ocam, opt, ouv, ow, oslot):
         prob = BAProblem(aa, t, X, intr, ocam, opt, ouv, ow)
         r, jc, jp = _obs_blocks(prob)
         dc, dx = _schur_solve(
             prob, r, jc, jp, n_cam, n_pt, damping, psum=psum,
-            fix_rotations=fix_rotations,
+            fix_rotations=fix_rotations, max_deg=max_deg, slot_info=oslot,
         )
         return dc, dx
 
@@ -362,7 +468,7 @@ def bundle_adjust_sharded(
     for _ in range(iters):
         dc, dx = one_round(
             prob.aa, prob.t, prob.X, prob.intr,
-            prob.obs_cam, prob.obs_pt, prob.obs_uv, prob.obs_w,
+            prob.obs_cam, prob.obs_pt, prob.obs_uv, prob.obs_w, slot,
         )
         new = prob._replace(
             aa=prob.aa + dc[:, :3], t=prob.t + dc[:, 3:], X=prob.X + dx

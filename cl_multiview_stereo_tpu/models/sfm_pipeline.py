@@ -159,14 +159,20 @@ def run_sfm(
     obs_w = np.where(bad, 0.0, obs_w).astype(np.float32)
     prob = prob._replace(obs_w=jnp.asarray(obs_w))
     rms_before = float(sfm.rms_error(prob))
+    # exact slot width for the blocked Schur assembly: the true maximum
+    # observation count per point (every obs slot counts, valid or not)
+    max_deg = int(np.bincount(obs_pt, minlength=n_pt).max())
     # default gauge: translation-only rig (the reference's camera model) —
     # narrow-FOV scenes make free rotations degenerate with translations
     if mesh is not None:
         out = sfm.bundle_adjust_sharded(
-            prob, mesh, iters=ba_iters, fix_rotations=fix_rotations
+            prob, mesh, iters=ba_iters, fix_rotations=fix_rotations,
+            max_deg=max_deg,
         )
     else:
-        out = sfm.bundle_adjust(prob, iters=ba_iters, fix_rotations=fix_rotations)
+        out = sfm.bundle_adjust(
+            prob, iters=ba_iters, fix_rotations=fix_rotations, max_deg=max_deg
+        )
     rms_after = float(sfm.rms_error(out))
     ate = float(sfm.ate(out.t, jnp.asarray(t0)))
     return SfmResult(

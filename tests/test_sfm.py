@@ -113,3 +113,59 @@ def test_harris_and_matching_on_shifted_texture():
     # most matches should agree with the known shift
     good = (np.abs(dx - shift) <= 1) & (np.abs(dy) <= 1)
     assert good.mean() > 0.8, f"shift agreement {good.mean()}"
+
+
+def test_blocked_schur_matches_dense_reference():
+    """The slot-table blocked coupling (sfm._schur_corr_blocked) equals the
+    removed (P, 6C, 3) dense scatter formula, computed here in numpy."""
+    prob, *_ = _synthetic_ba(n_cam=5, n_pt=17, seed=3, noise=0.5)
+    n_cam, n_pt = 5, 17
+    r, jc, jp = sfm._obs_blocks(prob)
+    hcc, hpp, bc, bp = sfm._assemble(prob, r, jc, jp, n_cam, n_pt)
+    lam = 1e-3
+    hpp = hpp + lam * jnp.eye(3)[None] * jnp.maximum(
+        jnp.trace(hpp, axis1=-2, axis2=-1)[..., None, None] / 3.0, 1e-6
+    )
+    hpp_inv = jnp.linalg.inv(hpp)
+    w_obs = jnp.einsum("nij,nik->njk", jc, jp)
+    y_obs = jnp.einsum("njk,nkl->njl", w_obs, hpp_inv[prob.obs_pt])
+
+    # dense reference (the formulation removed in round 4)
+    c6 = n_cam * 6
+    y_flat = np.zeros((n_pt, c6, 3), np.float64)
+    w_flat = np.zeros((n_pt, c6, 3), np.float64)
+    cams = np.asarray(prob.obs_cam)
+    pts = np.asarray(prob.obs_pt)
+    for n in range(len(cams)):
+        y_flat[pts[n], cams[n] * 6 : cams[n] * 6 + 6] += np.asarray(y_obs[n])
+        w_flat[pts[n], cams[n] * 6 : cams[n] * 6 + 6] += np.asarray(w_obs[n])
+    want = np.einsum("pik,pjk->ij", y_flat, w_flat)
+
+    order, pt_s, slot = sfm._point_slots(prob.obs_pt, max_deg=5)
+    got = np.asarray(
+        sfm._schur_corr_blocked(
+            pt_s, prob.obs_cam[order], y_obs[order], w_obs[order],
+            n_cam, n_pt, slot, max_deg=5, chunk=7,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+
+
+def test_bundle_adjust_free_rotations_under_noise():
+    """Free-rotation BA (fix_rotations=False) recovers perturbed rotations
+    in the presence of observation noise (VERDICT r3 item 8)."""
+    prob_gt, aa_gt, t_gt, X_gt = _synthetic_ba(noise=0.2, seed=5)
+    rng = np.random.default_rng(7)
+    mask = np.asarray([0.0] + [1.0] * (aa_gt.shape[0] - 1))[:, None]
+    noisy = prob_gt._replace(
+        aa=prob_gt.aa
+        + jnp.asarray(rng.normal(0, 0.02, aa_gt.shape) * mask, jnp.float32),
+        t=prob_gt.t
+        + jnp.asarray(rng.normal(0, 0.05, t_gt.shape) * mask, jnp.float32),
+        X=prob_gt.X + jnp.asarray(rng.normal(0, 0.1, X_gt.shape), jnp.float32),
+    )
+    out = sfm.bundle_adjust(noisy, iters=10, fix_rotations=False)
+    aa_err0 = float(jnp.abs(noisy.aa - prob_gt.aa).max())
+    aa_err1 = float(jnp.abs(out.aa - prob_gt.aa).max())
+    assert aa_err1 < 0.25 * aa_err0, f"rotation error {aa_err0} -> {aa_err1}"
+    assert float(sfm.ate(out.t, prob_gt.t)) < 0.03
