@@ -280,7 +280,7 @@ def _shift_lists(disp_levels, gx: int, gy: int, bl_ratio: float):
     return sx, sy
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
 def superpixel_cost_volume_strips(
     lab: jax.Array,  # (V, H, W, 3)
     centers: jax.Array,  # (V, Mh, Mw, 2)
@@ -290,7 +290,11 @@ def superpixel_cost_volume_strips(
     bl_ratio: float,
     neib_hor: int = 1,
     neib_ver: int = 1,
-    # diag deltas fall back to the dense shift-plane sweep inside this fn
+    diag_strips: bool = False,
+    # diag deltas use the dense shift-plane sweep unless ``diag_strips``
+    # (the sheared-table diagonal strips crash the TPU worker at 9-view
+    # 1080p scale — reproduced rounds 3-4 with both patch-gather and
+    # per-band-flat-gather forms; fine at <=540p, cause still open)
 ) -> jax.Array:
     """Strip-gather formulation of the same cost volume: per (cell, sample,
     pair) ONE gathered row carries the contiguous pixel strip covering
@@ -465,7 +469,13 @@ def superpixel_cost_volume_strips(
         Everything runs at flat f32-element granularity with channels
         folded into the row axis (shift unit = 3 elements = 1 pixel): a
         channel-minor intermediate tempts XLA into a lanes-on-channels
-        layout (3 -> 128 pad, a 42x HBM blowup seen at compile time)."""
+        layout (3 -> 128 pad, a 42x HBM blowup seen at compile time).
+
+        The build runs PER VIEW under ``lax.map``: the padded flat
+        intermediates are ~2.4 GB for the whole (V, Wp, ...) stack at the
+        reference scale — the round-3 full-scale runs crashed the TPU
+        worker from exactly this transient pressure; per-view they are
+        ~270 MB and the buffer is reused across map steps."""
         e_vals = (
             shear_np(np.arange(wp, dtype=np.float32))
             - np.arange(wp, dtype=np.float32)
@@ -473,46 +483,53 @@ def superpixel_cost_volume_strips(
         e_max = int(e_vals.max())
         off = shear_max if sgn > 0 else 0
         r_rows = hp + shear_max + 8
-        pt3 = padded_t3  # rows = x, flat (y, ch)
-        if sgn > 0:
-            # ShT[x, rho] = pt[x, rho + x + e(x) - off]: left-pad by off,
-            # then shift row x LEFT by x pixels (flat-reshape trick), then
-            # by e(x) (static staircase runs)
-            right = 3 * (r_rows + e_max + 8)
-            a = jnp.pad(pt3, ((0, 0), (0, 0), (3 * off, right)))
-            ln = a.shape[2]
-            flat = jnp.pad(a.reshape(v, wp * ln), ((0, 0), (0, 3 * wp)))
-            a = flat[:, : wp * (ln + 3)].reshape(v, wp, ln + 3)
-            shift_sign = 1
-        else:
-            # ShT[x, rho] = pt[x, rho - x - e(x)]: left-pad by shear_max
-            # (covers the largest right shift), right-pad past the
-            # staircase slice end, shift row x RIGHT by x pixels
-            right = 3 * (r_rows + 8)
-            a = jnp.pad(pt3, ((0, 0), (0, 0), (3 * (shear_max + 8), right)))
-            ln = a.shape[2]
-            flat = a.reshape(v, wp * ln)[:, : wp * (ln - 3)]
-            a = flat.reshape(v, wp, ln - 3)
-            shift_sign = -1
         # staircase: rows with equal e(x) form static runs
         bounds = [0] + (np.nonzero(np.diff(e_vals))[0] + 1).tolist() + [wp]
-        parts = []
-        for r0, r1 in zip(bounds[:-1], bounds[1:]):
-            e_run = int(e_vals[r0])
-            start = 3 * (e_run if shift_sign > 0 else shear_max + 8 - e_run)
-            parts.append(
-                jax.lax.dynamic_slice_in_dim(
-                    a[:, r0:r1], start, 3 * r_rows, axis=2
+
+        def one_view(pt3_v):  # (Wp, 3*Hp) one view's transposed flat image
+            if sgn > 0:
+                # ShT[x, rho] = pt[x, rho + x + e(x) - off]: left-pad by
+                # off, then shift row x LEFT by x pixels (flat-reshape
+                # trick), then by e(x) (static staircase runs)
+                right = 3 * (r_rows + e_max + 8)
+                a = jnp.pad(pt3_v, ((0, 0), (3 * off, right)))
+                ln = a.shape[1]
+                flat = jnp.pad(a.reshape(wp * ln), (0, 3 * wp))
+                a = flat[: wp * (ln + 3)].reshape(wp, ln + 3)
+                shift_sign = 1
+            else:
+                # ShT[x, rho] = pt[x, rho - x - e(x)]: left-pad by
+                # shear_max (covers the largest right shift), right-pad
+                # past the staircase slice end, shift row x RIGHT by x
+                right = 3 * (r_rows + 8)
+                a = jnp.pad(pt3_v, ((0, 0), (3 * (shear_max + 8), right)))
+                ln = a.shape[1]
+                flat = a.reshape(wp * ln)[: wp * (ln - 3)]
+                a = flat.reshape(wp, ln - 3)
+                shift_sign = -1
+            parts = []
+            for r0, r1 in zip(bounds[:-1], bounds[1:]):
+                e_run = int(e_vals[r0])
+                start = 3 * (e_run if shift_sign > 0 else shear_max + 8 - e_run)
+                parts.append(
+                    jax.lax.dynamic_slice_in_dim(
+                        a[r0:r1], start, 3 * r_rows, axis=1
+                    )
                 )
-            )
-        sh_t = jnp.concatenate(parts, axis=1)  # (V, Wp, 3*r_rows)
-        # flat 2-D transpose to (V, 3R, Wp): both swapped dims are large,
-        # so the layout stays sane (a (.., Wp, R, 3) 4-D transpose and a
-        # (Lx, 3B) gather tail both triggered 20-110 GB tiled-pad
-        # allocations at compile time)
-        return jnp.swapaxes(sh_t, 1, 2), off  # (V, 3*r_rows, Wp)
+            sh_t = jnp.concatenate(parts, axis=0)  # (Wp, 3*r_rows)
+            # flat 2-D transpose to (3R, Wp): both swapped dims are large,
+            # so the layout stays sane (a (.., Wp, R, 3) 4-D transpose and
+            # a (Lx, 3B) gather tail both triggered 20-110 GB tiled-pad
+            # allocations at compile time)
+            return jnp.swapaxes(sh_t, 0, 1)
+
+        return jax.lax.map(one_view, padded_t3), off  # (V, 3*r_rows, Wp)
 
     def diag_pair_acc(gx: int, gy: int, sh, off: int, acc0):
+        """Per-band FLAT gathers: the earlier (1, 3B, Lx) 2-D-slice patch
+        gather compiled but faulted the TPU worker at full scale (rounds
+        3-4); B*3 separate (1, 1, Lx) strip gathers are the identical
+        access pattern the axis path runs at full scale without issue."""
         sgn = gx * gy
         dz = gy * ah + gx
         nv = (jnp.arange(v, dtype=jnp.int32) + dz) % v
@@ -531,8 +548,8 @@ def superpixel_cost_volume_strips(
         bband = e_hi - e_lo + 1
 
         dn = jax.lax.GatherDimensionNumbers(
-            offset_dims=(4, 5),
-            collapsed_slice_dims=(0,),
+            offset_dims=(4,),
+            collapsed_slice_dims=(0, 1),
             start_index_map=(0, 1, 2),
         )
 
@@ -542,8 +559,8 @@ def superpixel_cost_volume_strips(
         xs = (chunked(xr), chunked(yr), chunked(c_ref), chunked(ref_ok),
               chunked(xrf), chunked(yrf))
 
-        # outer scan over the 25 samples (the body's ~1.2 GB padded patch
-        # is reused across iterations), inner scan over the ladder
+        # outer scan over the 25 samples (the body's strip buffers are
+        # reused across iterations), inner scan over the ladder
         def chunk_body(acc, x):
             xr_c, yr_c, c_ref_c, ref_ok_c, xrf_c, yrf_c = x
             xr_pad = xrf_c + np.float32(max_sx)  # (V, Mh, 1, Mw)
@@ -551,18 +568,24 @@ def superpixel_cost_volume_strips(
             row0 = (
                 (yr_c + max_sy).astype(jnp.float32) - np.float32(sgn) * sh_xr
             ).astype(jnp.int32) + (off + e_lo)
-            starts = jnp.stack(
-                jnp.broadcast_arrays(
-                    nv[:, None, None, None],
-                    3 * row0,
-                    xr_c - hi + max_sx,
-                ),
-                axis=-1,
-            )
-            patch = jax.lax.gather(
-                sh, starts, dn, slice_sizes=(1, 3 * bband, length),
-                mode=jax.lax.GatherScatterMode.CLIP,
-            )  # (V, Mh, 1, Mw, 3B, Lx)
+            xcol = xr_c - hi + max_sx
+            strips = []  # bband x 3 strips of (V, Mh, 1, Mw, Lx)
+            for b in range(bband):
+                for c in range(3):
+                    starts = jnp.stack(
+                        jnp.broadcast_arrays(
+                            nv[:, None, None, None],
+                            3 * (row0 + b) + c,
+                            xcol,
+                        ),
+                        axis=-1,
+                    )
+                    strips.append(
+                        jax.lax.gather(
+                            sh, starts, dn, slice_sizes=(1, 1, length),
+                            mode=jax.lax.GatherScatterMode.CLIP,
+                        )
+                    )
 
             def per_d(_, d):
                 sxd = jnp.ceil(d * gx).astype(jnp.int32)
@@ -575,16 +598,19 @@ def superpixel_cost_volume_strips(
                     * (shear_g(xr_pad - sxd.astype(jnp.float32)) - sh_xr)
                     - np.float32(e_lo)
                 ).astype(jnp.int32)
-                sliced = jax.lax.dynamic_index_in_dim(
-                    patch, hi - sxd, axis=5, keepdims=False
-                )  # (V, Mh, 1, Mw, 3B)
-                val = jnp.zeros(sliced.shape[:4] + (3,), jnp.float32)
+                sel = hi - sxd
+                val = jnp.zeros(xr_c.shape + (3,), jnp.float32)
                 for b in range(bband):
-                    val = jnp.where(
-                        (beta == b)[..., None],
-                        jax.lax.slice_in_dim(sliced, 3 * b, 3 * b + 3, axis=4),
-                        val,
-                    )
+                    picked = jnp.stack(
+                        [
+                            jax.lax.dynamic_index_in_dim(
+                                strips[3 * b + c], sel, axis=4, keepdims=False
+                            )
+                            for c in range(3)
+                        ],
+                        axis=-1,
+                    )  # (V, Mh, 1, Mw, 3)
+                    val = jnp.where((beta == b)[..., None], picked, val)
                 sad = jnp.sum(jnp.abs(c_ref_c - val), axis=-1)
                 px = xrf_c - d * gx
                 py = yrf_c - bl_ratio * d * gy
@@ -617,36 +643,55 @@ def superpixel_cost_volume_strips(
     _BBAND_CAP = 12
 
     vol = jnp.full((d_num, v, mh, mw), _BIG, jnp.float32)
+    # Deltas grouped so each sgn's ~0.8 GB sheared table is built, used by
+    # its two diagonals back-to-back, and DEAD before the other sgn's table
+    # exists (interleaved order kept both alive through the whole loop —
+    # part of the round-3 full-scale memory crash).
+    def _order(d):
+        gx, gy = d
+        if gx == 0 or gy == 0:
+            return 0
+        return 1 if gx * gy > 0 else 2
+
     sh_cache: dict = {}
-    for gx, gy in deltas:
+    dense_deltas = []
+    for gx, gy in sorted(deltas, key=_order):
         valid = (0 <= zx + gx) & (zx + gx < ah) & (0 <= zy + gy) & (zy + gy < av)
         valid_j = jnp.asarray(valid)[None, :, None, None]
         if gx == 0 or gy == 0:
             acc = axis_pair_acc(gx, gy, vol)
         elif (
-            abs(gx) == 1 and abs(gy) == 1 and bl_ratio >= 1.0
+            diag_strips and abs(gx) == 1 and abs(gy) == 1 and bl_ratio >= 1.0
             and diag_band_width(gx, gy) <= _BBAND_CAP
         ):
             # the shear staircase assumes e(x) >= 0 (bl >= 1) and a narrow
             # band; exotic rigs fall through to the dense sweep below
             sgn = gx * gy
             if sgn not in sh_cache:
+                sh_cache.clear()  # drop the other sgn's table reference
                 sh_cache[sgn] = build_sheared(sgn)
             acc = diag_pair_acc(gx, gy, *sh_cache[sgn], vol)
         else:
-            acc = jnp.moveaxis(
-                superpixel_cost_volume_dense(
-                    lab, centers, step,
-                    jnp.asarray([float(d) for d in disp_levels], jnp.float32),
-                    array_width, bl_ratio, neib_hor, neib_ver,
-                    max(abs(float(d)) for d in disp_levels), ((gx, gy),),
-                ),
-                1, 0,
-            )
+            # collected: ONE dense shift-plane call serves every non-strip
+            # delta (its per-hypothesis table gather amortizes over deltas)
+            dense_deltas.append((gx, gy))
+            continue
         # barrier the running minimum so XLA sequences the per-delta
         # temporaries (patch/strip arrays are GB-scale; round-1 OOM lesson)
         vol = jax.lax.optimization_barrier(
             jnp.minimum(vol, jnp.where(valid_j, acc, _BIG))
+        )
+    import os as _os
+
+    if dense_deltas and not _os.environ.get("STRIPS_SKIP_DENSE"):
+        dvol = superpixel_cost_volume_dense(
+            lab, centers, step,
+            jnp.asarray([float(d) for d in disp_levels], jnp.float32),
+            array_width, bl_ratio, neib_hor, neib_ver,
+            max(abs(float(d)) for d in disp_levels), tuple(dense_deltas),
+        )  # (V, D, Mh, Mw), already masked to valid deltas
+        vol = jax.lax.optimization_barrier(
+            jnp.minimum(vol, jnp.moveaxis(dvol, 1, 0))
         )
     return jnp.moveaxis(vol, 0, 1)  # (V, D, Mh, Mw)
 

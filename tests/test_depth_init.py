@@ -137,8 +137,12 @@ def test_dense_mode_agrees_with_gather(scene, bl_ratio):
     assert agree > 0.999, f"dense/gather WTA agreement {agree}"
 
 
-@pytest.mark.parametrize("bl_ratio,inc", [(1.0, 1.0), (1.03590, 1.0), (1.03590, 0.5), (0.97, 1.0)])
-def test_strips_mode_equals_dense(scene, bl_ratio, inc):
+@pytest.mark.parametrize(
+    "bl_ratio,inc,diag_strips",
+    [(1.0, 1.0, False), (1.03590, 1.0, False), (1.03590, 0.5, False),
+     (0.97, 1.0, False), (1.0, 1.0, True), (1.03590, 1.0, True)],
+)
+def test_strips_mode_equals_dense(scene, bl_ratio, inc, diag_strips):
     """The strip-gather formulation reads the SAME padded values with the
     same f32 shift/validity arithmetic as the dense shift-plane sweep; the
     only admissible difference is reduction-tree rounding (XLA picks a
@@ -156,7 +160,7 @@ def test_strips_mode_equals_dense(scene, bl_ratio, inc):
         s.array_width, bl_ratio, s.neib_hor, s.neib_ver, max_abs))
     strips = np.asarray(cost_volume.superpixel_cost_volume_strips(
         lab, spmap.center, step, tuple(float(d) for d in disp_levels),
-        s.array_width, bl_ratio, s.neib_hor, s.neib_ver))
+        s.array_width, bl_ratio, s.neib_hor, s.neib_ver, diag_strips))
     np.testing.assert_allclose(strips, dense, rtol=2e-7, atol=1e-3)
     wta_d = np.asarray(cost_volume.wta_disparity(
         jnp.asarray(dense), disp_levels, np.full(lab.shape[0], 1)))
