@@ -697,7 +697,7 @@ def propagate_iteration(
     jax.jit,
     static_argnames=(
         "it", "gamma", "alpha", "fuse", "bl_ratio", "steps", "step_size",
-        "pairs", "spixl_size", "label_radius",
+        "pairs", "spixl_size", "label_radius", "cons_engine",
     ),
 )
 def _propagate_iteration(
@@ -714,6 +714,7 @@ def _propagate_iteration(
     pairs: tuple,
     spixl_size: int = 8,
     label_radius: int = 1,
+    cons_engine: str = "gather",
 ) -> RefineState:
     v, mh, mw = state_in.d.shape
     center = ctx.center
@@ -739,6 +740,10 @@ def _propagate_iteration(
     # Score all moves in parallel (chunked so the (C, V, Mh, Mw, n, 9)
     # consistency temporaries stay bounded), then run the cheap sequential
     # acceptance chain (cl:1779-1891) over the precomputed scores.
+    # ``cons_engine``: "strips" resolves all moves' consistency through the
+    # strip-staged Pallas lane-gather kernel (ops.pallas.consistency —
+    # ~2.5x the per-move gather throughput at the reference config);
+    # "gather" is the original per-move packed-gather form.
     def _score_batch(d_c, n_c):
         """d_c: (M, V, Mh, Mw); n_c: (M, V, Mh, Mw, 3) -> (sm1, cs1)."""
         m = d_c.shape[0]
@@ -755,6 +760,8 @@ def _propagate_iteration(
             sm1 = jax.vmap(
                 lambda d, n: smoothness_from_cache(cache, d, n, alpha=alpha)
             )(dci, nci)
+            if cons_engine == "strips":
+                return 0, (sm1, jnp.zeros_like(sm1))
             cs1 = jax.vmap(
                 lambda d, n: consistency_from_cache(ctx, cache, d, n, **score_kw)
             )(dci, nci)
@@ -763,6 +770,15 @@ def _propagate_iteration(
         _, (sm1, cs1) = jax.lax.scan(body, 0, (dcs, ncs))
         sm1 = sm1.reshape((-1,) + d_c.shape[1:])[:m]
         cs1 = cs1.reshape((-1,) + d_c.shape[1:])[:m]
+        if cons_engine == "strips":
+            from cl_multiview_stereo_tpu.ops.pallas.consistency import (
+                consistency_moves,
+            )
+
+            cs1, _esc = consistency_moves(
+                ctx, cache, d_c[:m], n_c[:m], state_in.d, state_in.n,
+                **score_kw,
+            )
         return sm1, cs1
 
     mv = lambda a: jnp.moveaxis(a, -1, 0)  # move axis leads
@@ -855,9 +871,17 @@ def refine(
     jit: bool = True,
     spixl_size: int = 8,
     label_radius: int = 1,
+    cons_engine: str = "gather",
 ) -> RefineState:
     """Full refinement: init state, then ``no_prop`` Jacobi sweeps with
-    decaying reach (depth_refinement.cpp:105-106, 767-769)."""
+    decaying reach (depth_refinement.cpp:105-106, 767-769).
+
+    ``cons_engine``: "strips" scores all moves' consistency through the
+    strip-staged Pallas kernel (differential-tested equal to "gather",
+    the original per-move packed-gather form).  Default stays "gather":
+    full-scale strips executions have crashed/hung the axon TPU worker
+    (round 4 ledger in BASELINE.md) and could not be timed; flip after
+    the runtime issue is resolved."""
     if pairs is None:
         pairs = pairs_from_context(ctx)
     kw0 = dict(
@@ -881,5 +905,6 @@ def refine(
             **kw0,
             steps=schedule.steps_per_iter[it],
             step_size=schedule.step_size_per_iter[it],
+            cons_engine=cons_engine,
         )
     return state
