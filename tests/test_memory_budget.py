@@ -1,0 +1,36 @@
+"""AOT memory-budget regression guard (scaled-down BASELINE config-4 proxy).
+
+The 49-view 2K 256-hypothesis configuration currently compiles to 126 GB of
+per-device temps (BASELINE.md round 4) — dominated by per-pair refinement
+structures.  This proxy pins today's footprint at a small 6-view scale so a
+layout/temporary regression of the round-1 class (an innocent-looking
+change ballooning HLO temps by an order of magnitude) fails fast in CI
+instead of surfacing as an HBM OOM on the chip.
+
+Measured baseline for this exact shape: 24.6 MB of temps (CPU AOT,
+round 4).  The bound leaves ~3x headroom for benign compiler drift.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from cl_multiview_stereo_tpu.config import SystemSettings
+from cl_multiview_stereo_tpu.models.mvs_pipeline import MVSPipeline
+
+_TEMP_BUDGET_MB = 80.0
+
+
+def test_pipeline_aot_temps_within_budget():
+    s = SystemSettings(array_width=3, array_height=2, min_disp=10,
+                       max_disp=41, inc=1)
+    h, w = 160, 192
+    pipe = MVSPipeline.create(w, h, s)
+    rgb = jax.ShapeDtypeStruct((s.view_num, h, w, 3), jnp.uint8)
+    compiled = jax.jit(pipe.run).lower(rgb).compile()
+    ma = compiled.memory_analysis()
+    temp_mb = ma.temp_size_in_bytes / 2**20
+    assert temp_mb < _TEMP_BUDGET_MB, (
+        f"pipeline AOT temps {temp_mb:.1f} MB exceed the {_TEMP_BUDGET_MB} MB "
+        "proxy budget — a temporary/layout regression of the config-4 class "
+        "(see BASELINE.md round-4 memory attribution)"
+    )
