@@ -50,18 +50,22 @@ def main() -> None:
     fwd = pipe.jitted()
     rgb_dev = jnp.asarray(rgb)
 
-    def run():
-        art = fwd(rgb_dev)
-        # Force real completion: pull a scalar to the host (on the axon
-        # tunnel platform block_until_ready returns before execution ends).
+    def run(seed: int):
+        # Memoization-proofing (CLAUDE.md): the axon tunnel memoizes whole
+        # executions content-addressed, even across processes — every timed
+        # call must see a DIFFERENT input.  Perturb one pixel of one view at
+        # a seed-dependent position (uint8 wrap; invisible to the headline
+        # but changing the content hash), then pull a scalar to the host (on
+        # the tunnel block_until_ready returns before execution ends).
+        art = fwd(rgb_dev.at[0, seed % h, seed % w, 0].add(np.uint8(seed)))
         return float(jnp.sum(art.disp_full.ravel()[:: 4096].sum()))
 
     # Warmup/compile
-    run()
+    run(1)
     times = []
-    for _ in range(3):
+    for i in range(3):
         t0 = time.perf_counter()
-        run()
+        run(2 + i)
         times.append(time.perf_counter() - t0)
     dt = sorted(times)[len(times) // 2]
     mp_per_s = (s.view_num * h * w) / dt / 1e6

@@ -192,7 +192,40 @@ class MVSPipeline:
         """
         from cl_multiview_stereo_tpu.utils.artifacts import load_checkpoint
 
-        return self.run(rgb, _ckpt=load_checkpoint(checkpoint_path))
+        ck = load_checkpoint(checkpoint_path)
+        self._validate_checkpoint(ck, checkpoint_path)
+        return self.run(rgb, _ckpt=ck)
+
+    def _validate_checkpoint(self, ck: dict, path: str) -> None:
+        """Fail fast on partial key groups or arrays from a different
+        scene/config (advisor r4): a stage re-enters only when its WHOLE
+        output group is present, and every present array must match this
+        pipeline's static geometry."""
+        g = self.geom
+        v, mh, mw, h, w = g.view_num, g.map_h, g.map_w, g.img_h, g.img_w
+        groups = {
+            "SLIC": (("labels", (v, h, w)), ("center", (v, mh, mw, 2)),
+                     ("color", (v, mh, mw, 3))),
+            "depth-init": (("disp_init", (v, mh, mw)),),
+            "refinement": (("state_d", (v, mh, mw)), ("state_sm", (v, mh, mw)),
+                           ("state_cs", (v, mh, mw)), ("state_n", (v, mh, mw, 3))),
+        }
+        for stage, keys in groups.items():
+            present = [k for k, _ in keys if k in ck]
+            if present and len(present) < len(keys):
+                missing = [k for k, _ in keys if k not in ck]
+                raise ValueError(
+                    f"checkpoint '{path}': partial {stage} group — has "
+                    f"{present}, missing {missing}; cannot resume this stage"
+                )
+            for k, shape in keys:
+                if k in ck and tuple(np.asarray(ck[k]).shape) != shape:
+                    raise ValueError(
+                        f"checkpoint '{path}': '{k}' has shape "
+                        f"{tuple(np.asarray(ck[k]).shape)} but this pipeline "
+                        f"(views={v}, {w}x{h}, map {mw}x{mh}) expects {shape} "
+                        f"— wrong scene or settings?"
+                    )
 
     def jitted(self):
         """One-jit end-to-end forward: (V, H, W, 3) uint8 -> PipelineArtifacts.

@@ -280,7 +280,7 @@ def _shift_lists(disp_levels, gx: int, gy: int, bl_ratio: float):
     return sx, sy
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9))
 def superpixel_cost_volume_strips(
     lab: jax.Array,  # (V, H, W, 3)
     centers: jax.Array,  # (V, Mh, Mw, 2)
@@ -295,6 +295,10 @@ def superpixel_cost_volume_strips(
     # (the sheared-table diagonal strips crash the TPU worker at 9-view
     # 1080p scale — reproduced rounds 3-4 with both patch-gather and
     # per-band-flat-gather forms; fine at <=540p, cause still open)
+    skip_dense: bool = False,
+    # probe-only: drop the dense fallback for deltas not covered by a strip
+    # class (output is then NOT the full cost volume — bisection harnesses
+    # use it to time strip classes in isolation)
 ) -> jax.Array:
     """Strip-gather formulation of the same cost volume: per (cell, sample,
     pair) ONE gathered row carries the contiguous pixel strip covering
@@ -681,9 +685,7 @@ def superpixel_cost_volume_strips(
         vol = jax.lax.optimization_barrier(
             jnp.minimum(vol, jnp.where(valid_j, acc, _BIG))
         )
-    import os as _os
-
-    if dense_deltas and not _os.environ.get("STRIPS_SKIP_DENSE"):
+    if dense_deltas and not skip_dense:
         dvol = superpixel_cost_volume_dense(
             lab, centers, step,
             jnp.asarray([float(d) for d in disp_levels], jnp.float32),

@@ -57,10 +57,10 @@ _ROW_TILE = 512  # kernel rows per grid step
 _ESC_BLOCK = 256  # escape-compaction block size (flat entries)
 _ESC_BLOCKS = 768  # escape blocks re-evaluated per pair-chunk (static cap)
 # pairs staged per scan step (bounds live strip memory: each chunk holds
-# ~4 x (chunk * Mh * 9 * Mw, 128) f32 arrays — ~600 MB/pair at 1080p)
-import os as _os
-
-_PAIR_CHUNK = int(_os.environ.get("STRIPS_CONS_CHUNK", "3"))
+# ~4 x (chunk * Mh * 9 * Mw, 128) f32 arrays — ~600 MB/pair at 1080p).
+# Compile-time constant: changing it requires a fresh process (it shapes
+# every traced program in this module).
+_PAIR_CHUNK = 3
 
 
 def _cl_round(x):
@@ -417,7 +417,7 @@ def _pair_sums_xla(
 def consistency_moves(
     ctx,
     cache,
-    d_c,  # (M, V, Mh, Mw) candidate plane disparities (M <= 32)
+    d_c,  # (M, V, Mh, Mw) candidate plane disparities (any M)
     n_c,  # (M, V, Mh, Mw, 3) candidate plane normals
     state_d,  # (V, Mh, Mw) the FROZEN input state (window anchor)
     state_n,  # (V, Mh, Mw, 3)
@@ -431,8 +431,34 @@ def consistency_moves(
     Equivalent to stacking ``refine.consistency_from_cache`` over the move
     axis (same pair list, same per-view subset-order aggregation), with
     h/v pairs resolved through the strip kernel and the rest through the
-    exact XLA path.  Returns ((M, V, Mh, Mw) scores, escape_overflow).
+    exact XLA path.  Moves beyond the kernel's 32 lane slots are chunked
+    (each chunk re-stages its strips — configs with steps > 6 just pay
+    another pass).  Returns ((M, V, Mh, Mw) scores, escape_overflow).
     """
+    m = d_c.shape[0]
+    if m > _MOVE_SLOTS:
+        outs, esc = [], jnp.int32(0)
+        for lo in range(0, m, _MOVE_SLOTS):
+            cs_i, esc_i = _consistency_moves_32(
+                ctx, cache, d_c[lo : lo + _MOVE_SLOTS],
+                n_c[lo : lo + _MOVE_SLOTS], state_d, state_n,
+                gamma=gamma, alpha=alpha, fuse=fuse, bl_ratio=bl_ratio,
+                pairs=pairs, interpret=interpret,
+            )
+            outs.append(cs_i)
+            esc = esc + esc_i
+        return jnp.concatenate(outs, axis=0), esc
+    return _consistency_moves_32(
+        ctx, cache, d_c, n_c, state_d, state_n,
+        gamma=gamma, alpha=alpha, fuse=fuse, bl_ratio=bl_ratio,
+        pairs=pairs, interpret=interpret,
+    )
+
+
+def _consistency_moves_32(
+    ctx, cache, d_c, n_c, state_d, state_n, *,
+    gamma, alpha, fuse, bl_ratio, pairs: tuple, interpret: bool = False,
+):
     v, mh, mw = state_d.shape
     m = d_c.shape[0]
     assert m <= _MOVE_SLOTS, m

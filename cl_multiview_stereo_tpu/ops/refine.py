@@ -761,24 +761,44 @@ def _propagate_iteration(
                 lambda d, n: smoothness_from_cache(cache, d, n, alpha=alpha)
             )(dci, nci)
             if cons_engine == "strips":
-                return 0, (sm1, jnp.zeros_like(sm1))
+                return 0, (sm1,)
             cs1 = jax.vmap(
                 lambda d, n: consistency_from_cache(ctx, cache, d, n, **score_kw)
             )(dci, nci)
             return 0, (sm1, cs1)
 
-        _, (sm1, cs1) = jax.lax.scan(body, 0, (dcs, ncs))
-        sm1 = sm1.reshape((-1,) + d_c.shape[1:])[:m]
-        cs1 = cs1.reshape((-1,) + d_c.shape[1:])[:m]
+        _, ys = jax.lax.scan(body, 0, (dcs, ncs))
+        sm1 = ys[0].reshape((-1,) + d_c.shape[1:])[:m]
         if cons_engine == "strips":
             from cl_multiview_stereo_tpu.ops.pallas.consistency import (
                 consistency_moves,
             )
 
-            cs1, _esc = consistency_moves(
+            cs1, esc = consistency_moves(
                 ctx, cache, d_c[:m], n_c[:m], state_in.d, state_in.n,
                 **score_kw,
             )
+            # Escape-block overflow means narrow-gather fixups were DROPPED
+            # and the consistency scores violate the engine's exactness
+            # guarantee.  It cannot be recovered in-trace (the fixup budget
+            # is static), so surface it loudly for the debug path; the
+            # static _ESC_BLOCKS budget is sized ~20x the worst case seen
+            # in differential tests.
+            jax.lax.cond(
+                esc > 0,
+                lambda e: jax.debug.print(
+                    "cl_multiview_stereo_tpu: strips consistency engine "
+                    "OVERFLOWED its escape-fixup budget by {e} blocks — "
+                    "scores this sweep are WRONG; rerun with "
+                    "cons_engine='gather' or raise pallas.consistency."
+                    "_ESC_BLOCKS",
+                    e=e,
+                ),
+                lambda e: None,
+                esc,
+            )
+        else:
+            cs1 = ys[1].reshape((-1,) + d_c.shape[1:])[:m]
         return sm1, cs1
 
     mv = lambda a: jnp.moveaxis(a, -1, 0)  # move axis leads
