@@ -55,6 +55,11 @@ class MVSPipeline:
     geom: DerivedGeometry
     cross_check: bool = False
     depth_method: str = "dense"  # "dense" (TPU-fast) or "gather" (exact)
+    # Refinement pair-axis layout: "packed" (single-chip default) or "view"
+    # (per-ref-view slots — the config-4 memory fix: under GSPMD view
+    # sharding every consistency temporary keeps the leading view axis and
+    # shards with the mesh; bitwise-equal results, see refine.py)
+    pair_layout: str = "packed"
     # Generalized projection: static (ref, view, dvx, dvy) pair list for the
     # refinement consistency term — e.g. from recovered SfM poses
     # (models.sfm_pipeline.pairs_from_poses).  None = the reference's
@@ -155,6 +160,7 @@ class MVSPipeline:
             state = refine.refine(
                 ctx, sched, pairs=pairs,
                 spixl_size=s.spixl_size, label_radius=label_radius,
+                pair_layout=self.pair_layout,
             )
         disp_full = fusion.fuse_views(
             labels,

@@ -357,8 +357,26 @@ def _schur_solve(
     return dc, dx
 
 
+def _check_max_deg(obs_pt, max_deg: int) -> None:
+    """Host-side guard (advisor r4): ``max_deg`` silently MERGES Schur
+    couplings for points observed more than ``max_deg`` times, degrading the
+    solution with no error.  When ``obs_pt`` is concrete, verify the true
+    degree bound; under a trace the caller owns the bound (run_sfm computes
+    it exactly)."""
+    if isinstance(obs_pt, jax.core.Tracer):
+        return
+    counts = np.bincount(np.asarray(obs_pt))
+    true_deg = int(counts.max()) if counts.size else 0
+    if true_deg > max_deg:
+        raise ValueError(
+            f"max_deg={max_deg} but a point has {true_deg} observations — "
+            f"Schur couplings would be silently merged; pass "
+            f"max_deg={true_deg} (run_sfm derives it from the match table)"
+        )
+
+
 @partial(jax.jit, static_argnames=("iters", "fix_rotations", "max_deg"))
-def bundle_adjust(
+def _bundle_adjust_jit(
     p: BAProblem, iters: int = 10, damping: float = 1e-3,
     fix_rotations: bool = False, max_deg: int = 16,
 ) -> BAProblem:
@@ -400,6 +418,22 @@ def bundle_adjust(
     return out
 
 
+def bundle_adjust(
+    p: BAProblem, iters: int = 10, damping: float = 1e-3,
+    fix_rotations: bool = False, max_deg: int = 16,
+) -> BAProblem:
+    """Levenberg-damped Gauss-Newton BA (single device).
+
+    ``max_deg``: static bound on observations per point (the slot width of
+    the blocked Schur assembly) — pass the true maximum track length
+    (checked host-side when the problem is concrete)."""
+    _check_max_deg(p.obs_pt, max_deg)
+    return _bundle_adjust_jit(
+        p, iters=iters, damping=damping,
+        fix_rotations=fix_rotations, max_deg=max_deg,
+    )
+
+
 def bundle_adjust_sharded(
     p: BAProblem, mesh, iters: int = 10, damping: float = 1e-3,
     fix_rotations: bool = False, max_deg: int = 16,
@@ -418,6 +452,7 @@ def bundle_adjust_sharded(
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
+    _check_max_deg(p.obs_pt, max_deg)
     n_cam = p.aa.shape[0]
     n_pt = p.X.shape[0]
     n_dev = mesh.shape["view"]
@@ -483,3 +518,379 @@ def ate(t_est: jax.Array, t_gt: jax.Array) -> jax.Array:
     already fixed to camera 0)."""
     d = t_est - t_gt
     return jnp.sqrt(jnp.mean(jnp.sum(d * d, axis=-1)))
+
+# ---------------------------------------------------------------------------
+# Pose-graph backend (north-star: "distributed BA with pose-graph backend")
+# ---------------------------------------------------------------------------
+#
+# The reference has no poses at all (its camera is the implicit rectified
+# grid of clcode.cl:1033-1034); BASELINE.json's north star asks for a
+# pose-graph backend in front of the Schur BA.  Design (TPU-first): edges
+# are dense shape-static arrays; per-edge 6-DoF residuals and their
+# Jacobians come from ``jax.jacfwd`` vmapped over the edge axis; the
+# (6C x 6C) normal equations are assembled with segment-sums over edge
+# blocks and solved densely (cameras are few — same shape philosophy as
+# the Schur solver above).  The camera-grid rig's adjacency graph is full
+# of 4-cycles, so grid edges alone already give the loop-closure structure
+# that makes PGO better-conditioned than chaining odometry.
+
+
+def so3_log(R: jax.Array) -> jax.Array:
+    """Rotation matrix (..., 3, 3) -> axis-angle (..., 3) (inverse of
+    ``rodrigues`` away from theta = pi)."""
+    tr = jnp.trace(R, axis1=-2, axis2=-1)
+    cos = jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)
+    theta = jnp.arccos(cos)
+    w = 0.5 * jnp.stack(
+        [
+            R[..., 2, 1] - R[..., 1, 2],
+            R[..., 0, 2] - R[..., 2, 0],
+            R[..., 1, 0] - R[..., 0, 1],
+        ],
+        axis=-1,
+    )  # = axis * sin(theta)
+    sin = jnp.sin(theta)
+    f = jnp.where(theta < 1e-6, 1.0, theta / jnp.where(sin == 0, 1.0, sin))
+    return w * f[..., None]
+
+
+class PoseGraph(NamedTuple):
+    """Relative-pose factor graph.  Edge e measures the i->j transform
+    x_j = R(rel_aa[e]) x_i + rel_t[e] for (i, j) = edges[e]; ``w_rot`` /
+    ``w_t`` weight the rotation / translation residual blocks.
+
+    ``info``: optional (E, 6, 6) per-edge information matrices (g2o-style;
+    e.g. the reduced camera Hessian of the two-view solve that produced the
+    factor).  When given it REPLACES the scalar weights — directions the
+    factor never observed (a narrow-FOV pair's forward translation, a
+    planar pair's rotation) then carry ~zero information instead of
+    polluting the graph with their noise."""
+
+    edges: jax.Array  # (E, 2) int32 camera ids (i, j)
+    rel_aa: jax.Array  # (E, 3) measured relative rotation (axis-angle)
+    rel_t: jax.Array  # (E, 3) measured relative translation
+    w_rot: jax.Array  # (E,)
+    w_t: jax.Array  # (E,)
+    info: jax.Array | None = None  # (E, 6, 6)
+
+
+def _edge_info(g: PoseGraph) -> jax.Array:
+    """(E, 6, 6) information matrices: explicit ``info`` or the scalar
+    weights on the diagonal."""
+    if g.info is not None:
+        return g.info
+    w6 = jnp.concatenate(
+        [g.w_rot[:, None].repeat(3, 1), g.w_t[:, None].repeat(3, 1)], axis=1
+    )
+    return jax.vmap(jnp.diag)(w6)
+
+
+def relative_from_absolute(
+    aa: jax.Array, t: jax.Array, edges: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Absolute world->camera poses -> exact relative i->j factors:
+    R_ji = R_j R_i^T, t_ji = t_j - R_ji t_i (factor sources: two-view
+    estimates, odometry, or a prior rig)."""
+    R = rodrigues(aa)
+    Ri = R[edges[:, 0]]
+    Rj = R[edges[:, 1]]
+    Rji = jnp.einsum("eij,ekj->eik", Rj, Ri)  # R_j R_i^T
+    tji = t[edges[:, 1]] - jnp.einsum("eij,ej->ei", Rji, t[edges[:, 0]])
+    return so3_log(Rji), tji
+
+
+def _pose_graph_residual(aa_i, t_i, aa_j, t_j, rel_aa, rel_t):
+    """6-vector residual of one edge: [log(Rbar^T R_j R_i^T); (t_j - R_ji
+    t_i) - tbar]."""
+    Ri = rodrigues(aa_i)
+    Rj = rodrigues(aa_j)
+    Rji = Rj @ Ri.T
+    Rbar = rodrigues(rel_aa)
+    r_rot = so3_log(Rbar.T @ Rji)
+    r_t = (t_j - Rji @ t_i) - rel_t
+    return jnp.concatenate([r_rot, r_t])
+
+
+def pose_graph_residuals(g: PoseGraph, aa: jax.Array, t: jax.Array) -> jax.Array:
+    """(E, 6) information-whitened residuals (L^T r with info = L L^T)."""
+    r = jax.vmap(
+        lambda e, raa, rt: _pose_graph_residual(
+            aa[e[0]], t[e[0]], aa[e[1]], t[e[1]], raa, rt
+        )
+    )(g.edges, g.rel_aa, g.rel_t)
+    W = _edge_info(g)
+    L = jnp.linalg.cholesky(W + 1e-12 * jnp.eye(6))
+    return jnp.einsum("eji,ej->ei", L, r)
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def pose_graph_optimize(
+    g: PoseGraph,
+    aa0: jax.Array,  # (C, 3)
+    t0: jax.Array,  # (C, 3)
+    iters: int = 10,
+    damping: float = 1e-4,
+) -> tuple[jax.Array, jax.Array]:
+    """Gauss-Newton pose-graph optimization (camera 0 pinned as gauge).
+
+    Returns the optimized (aa, t).  Dense (6C x 6C) solve per iteration —
+    the right trade at camera-array scale (C <= a few hundred), and the
+    solve replicates for free under any mesh while the factor evaluation
+    axis (E) is embarrassingly shardable."""
+    n_cam = aa0.shape[0]
+
+    def res_fn(cam_vec, e, raa, rt):
+        # cam_vec: (12,) = [aa_i, t_i, aa_j, t_j]
+        return _pose_graph_residual(
+            cam_vec[0:3], cam_vec[3:6], cam_vec[6:9], cam_vec[9:12], raa, rt
+        )
+
+    def one_iter(state, _):
+        aa, t = state
+        packed = jax.vmap(
+            lambda e: jnp.concatenate([aa[e[0]], t[e[0]], aa[e[1]], t[e[1]]])
+        )(g.edges)
+        r = jax.vmap(res_fn)(packed, g.edges, g.rel_aa, g.rel_t)  # (E, 6)
+        J = jax.vmap(jax.jacfwd(res_fn))(
+            packed, g.edges, g.rel_aa, g.rel_t
+        )  # (E, 6, 12)
+        W = _edge_info(g)  # (E, 6, 6)
+        Jw = jnp.einsum("ers,esi->eri", W, J)  # (E, 6, 12)
+        # normal equations: H += J^T W J scattered into the 4 (i/j, i/j)
+        # 6x6 blocks; b -= J^T W r into the 2 camera rows
+        h_blk = jnp.einsum("eri,erj->eij", Jw, J)  # (E, 12, 12)
+        b_blk = -jnp.einsum("eri,er->ei", Jw, r)  # (E, 12)
+        ei, ej = g.edges[:, 0], g.edges[:, 1]
+        ids = jnp.stack(
+            [ei * n_cam + ei, ei * n_cam + ej, ej * n_cam + ei, ej * n_cam + ej],
+            axis=1,
+        )  # (E, 4)
+        quads = jnp.stack(
+            [
+                h_blk[:, 0:6, 0:6],
+                h_blk[:, 0:6, 6:12],
+                h_blk[:, 6:12, 0:6],
+                h_blk[:, 6:12, 6:12],
+            ],
+            axis=1,
+        )  # (E, 4, 6, 6)
+        h_cells = jax.ops.segment_sum(
+            quads.reshape(-1, 6, 6), ids.reshape(-1), num_segments=n_cam * n_cam
+        )
+        H = (
+            h_cells.reshape(n_cam, n_cam, 6, 6)
+            .transpose(0, 2, 1, 3)
+            .reshape(n_cam * 6, n_cam * 6)
+        )
+        b = jax.ops.segment_sum(
+            jnp.concatenate([b_blk[:, 0:6], b_blk[:, 6:12]], axis=0),
+            jnp.concatenate([ei, ej], axis=0),
+            num_segments=n_cam,
+        ).reshape(-1)
+        # damping scaled to the problem's curvature (info-weighted graphs
+        # can be orders of magnitude off unit scale)
+        H = H + (
+            damping * jnp.maximum(jnp.trace(H) / (6.0 * n_cam), 1e-12)
+        ) * jnp.eye(n_cam * 6)
+        # gauge: pin camera 0
+        fix = jnp.arange(6)
+        H = H.at[fix, :].set(0.0).at[:, fix].set(0.0)
+        H = H.at[fix, fix].set(1.0)
+        b = b.at[fix].set(0.0)
+        delta = jnp.linalg.solve(H, b).reshape(n_cam, 6)
+        aa_n, t_n = aa + delta[:, :3], t + delta[:, 3:]
+
+        # accept only improving steps (same cheap LM guard as the BA);
+        # quadratic-form cost — no cholesky, so singular info is fine
+        def cost(aa_, t_):
+            r_ = jax.vmap(
+                lambda e, raa, rt: _pose_graph_residual(
+                    aa_[e[0]], t_[e[0]], aa_[e[1]], t_[e[1]], raa, rt
+                )
+            )(g.edges, g.rel_aa, g.rel_t)
+            return jnp.einsum("ei,eij,ej->", r_, W, r_)
+
+        better = cost(aa_n, t_n) < cost(aa, t)
+        keep = lambda a, b_: jnp.where(better, a, b_)
+        return (keep(aa_n, aa), keep(t_n, t)), cost(aa, t)
+
+    (aa, t), _ = jax.lax.scan(one_iter, (aa0, t0), None, length=iters)
+    return aa, t
+
+
+def two_view_relative(
+    uv_a: jax.Array,  # (E, M, 2) matched pixels in view i
+    uv_b: jax.Array,  # (E, M, 2) matched pixels in view j
+    w: jax.Array,  # (E, M) match weights (0 = padding/outlier)
+    intr: jax.Array,  # (4,)
+    aa_seed: jax.Array,  # (E, 3) relative rotation seed
+    t_seed: jax.Array,  # (E, 3) relative translation seed (sets the scale
+    #                            gauge: the estimate is renormalized to
+    #                            ||t_seed|| — monocular two-view scale is
+    #                            unobservable)
+    iters: int = 20,
+    damping: float = 1e-3,
+    fix_rotations: bool = False,
+    outlier_px: float = 0.0,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-edge two-view BA, vmapped over the edge axis: camera i pinned at
+    identity, camera j's relative 6-DoF and the pair's M points free —
+    Schur-eliminated exactly like the global solver (H_pp is (M, 3, 3)
+    block-diagonal, the reduced camera system is just 6x6).  Returns
+    ``(rel_aa, rel_t, info)`` — the measured relative factors a pose graph
+    consumes plus their (E, 6, 6) information matrices (``PoseGraph.info``).
+
+    ``fix_rotations``: pin the relative rotation at the seed (same gauge
+    rationale as the global BA: on a narrow-FOV translation rig a small
+    rotation is observationally degenerate with a lateral translation, and
+    free-rotation two-view factors come out garbage — reproduced in
+    tests/test_pose_graph.py)."""
+
+    def triangulate_pair(aa_r, t_r, ua, ub):
+        cam = jnp.stack([jnp.zeros_like(aa_r), aa_r])
+        tt = jnp.stack([jnp.zeros_like(t_r), t_r])
+        m = ua.shape[0]
+        pair_idx = jnp.tile(jnp.asarray([[0, 1]], jnp.int32), (m, 1))
+        return triangulate(cam, tt, intr, pair_idx, ua, ub)
+
+    def solve_edge(aa_r, t_r, ua, ub, wm):
+        X = triangulate_pair(aa_r, t_r, ua, ub)
+        X = jnp.where(
+            (jnp.isfinite(X).all(-1) & (X[:, 2] > 1e-3))[:, None], X,
+            jnp.asarray([0.0, 0.0, 1.0]),
+        )
+        t_norm0 = jnp.linalg.norm(t_r)
+        # scale-gauge pin INSIDE the solve: monocular two-view leaves
+        # ||t|| unobservable (a rank-1 null space that stalls GN); one
+        # penalty row kappa*(||t|| - ||t_seed||) on the camera block
+        # conditions the reduced 6x6 system
+        kappa = jnp.maximum(intr[0], intr[1])
+
+        def res_one(camp, Xp, ua_, ub_):
+            ra = project(jnp.zeros(3), jnp.zeros(3), Xp, intr) - ua_
+            rb = project(camp[0:3], camp[3:6], Xp, intr) - ub_
+            return jnp.concatenate([ra, rb])  # (4,)
+
+        if outlier_px > 0.0:
+            # same gate as run_sfm's global stage: a mutual-nearest match
+            # that is far off at the SEED geometry is an outlier, and one
+            # bad match dominates a 6-DoF least-squares fit (reproduced:
+            # ungated edges return wildly wrong translation directions)
+            r0 = jax.vmap(
+                lambda Xp, u1, u2: res_one(
+                    jnp.concatenate([aa_r, t_r]), Xp, u1, u2
+                )
+            )(X, ua, ub)
+            wm = wm * (
+                jnp.linalg.norm(r0.reshape(-1, 2, 2), axis=-1).max(-1)
+                < outlier_px
+            ).astype(jnp.float32)
+
+        def scale_res(camp):
+            return kappa * (jnp.linalg.norm(camp[3:6]) - t_norm0)
+
+        def gn_step(state, _):
+            # adaptive Levenberg damping (carried in the scan state): the
+            # two-view cost surface is a long narrow valley in f32 — a
+            # constant lambda stalls on its floor (reproduced in tests)
+            camp, X_, lam = state
+            r = jax.vmap(lambda Xp, u1, u2: res_one(camp, Xp, u1, u2))(
+                X_, ua, ub
+            )  # (M, 4)
+            jc = jax.vmap(
+                lambda Xp, u1, u2: jax.jacfwd(res_one, argnums=0)(camp, Xp, u1, u2)
+            )(X_, ua, ub)  # (M, 4, 6)
+            jp = jax.vmap(
+                lambda Xp, u1, u2: jax.jacfwd(res_one, argnums=1)(camp, Xp, u1, u2)
+            )(X_, ua, ub)  # (M, 4, 3)
+            wv = wm[:, None]
+            jcw = jc * wv[..., None]
+            jpw = jp * wv[..., None]
+            hcc = jnp.einsum("mri,mrj->ij", jcw, jc)  # (6, 6)
+            r_s = scale_res(camp)
+            j_s = jax.jacfwd(scale_res)(camp)  # (6,)
+            hcc = hcc + jnp.outer(j_s, j_s)
+            hpp = jnp.einsum("mri,mrj->mij", jpw, jp)  # (M, 3, 3)
+            hcp = jnp.einsum("mri,mrj->mij", jcw, jp)  # (M, 6, 3)
+            bc = -jnp.einsum("mri,mr->i", jcw, r) - j_s * r_s
+            bp = -jnp.einsum("mri,mr->mi", jpw, r)
+            hpp = hpp + lam * jnp.eye(3)[None] * jnp.maximum(
+                jnp.trace(hpp, axis1=-2, axis2=-1)[:, None, None] / 3.0, 1e-6
+            )
+            hpp_inv = jnp.linalg.inv(hpp)
+            s = hcc + lam * jnp.eye(6) * jnp.maximum(
+                jnp.trace(hcc) / 6.0, 1e-6
+            ) - jnp.einsum("mij,mjk,mlk->il", hcp, hpp_inv, hcp)
+            rhs = bc - jnp.einsum("mij,mjk,mk->i", hcp, hpp_inv, bp)
+            if fix_rotations:
+                rot = jnp.arange(3)
+                s = s.at[rot, :].set(0.0).at[:, rot].set(0.0)
+                s = s.at[rot, rot].set(1.0)
+                rhs = rhs.at[rot].set(0.0)
+            dc = jnp.linalg.solve(s, rhs)
+            # back-substitute points: dX = Hpp^-1 (bp - Hcp^T dc)
+            dX = jnp.einsum(
+                "mij,mj->mi", hpp_inv, bp - jnp.einsum("mij,i->mj", hcp, dc)
+            )
+            camp_n = camp + dc
+            X_n = X_ + dX
+            c_new = jnp.sum(
+                (jax.vmap(lambda Xp, u1, u2: res_one(camp_n, Xp, u1, u2))(X_n, ua, ub) * wv) ** 2
+            ) + scale_res(camp_n) ** 2
+            c_old = jnp.sum((r * wv) ** 2) + r_s ** 2
+            better = c_new < c_old
+            keep = lambda a, b_: jnp.where(better, a, b_)
+            lam_n = jnp.clip(jnp.where(better, lam * 0.4, lam * 4.0), 1e-9, 1e3)
+            return (keep(camp_n, camp), keep(X_n, X_), lam_n), c_old
+
+        camp0 = jnp.concatenate([aa_r, t_r])
+        (camp, X_fin, _), _ = jax.lax.scan(
+            gn_step, (camp0, X, jnp.float32(damping)), None, length=iters
+        )
+
+        # factor information = reduced camera Hessian at the solution
+        # (reprojection terms only — no damping, no scale pin): directions
+        # this pair never observed carry ~zero information into the graph
+        jc = jax.vmap(
+            lambda Xp, u1, u2: jax.jacfwd(res_one, argnums=0)(camp, Xp, u1, u2)
+        )(X_fin, ua, ub)
+        jp = jax.vmap(
+            lambda Xp, u1, u2: jax.jacfwd(res_one, argnums=1)(camp, Xp, u1, u2)
+        )(X_fin, ua, ub)
+        wv = wm[:, None, None]
+        hcc = jnp.einsum("mri,mrj->ij", jc * wv, jc)
+        hpp = jnp.einsum("mri,mrj->mij", jp * wv, jp) + 1e-8 * jnp.eye(3)[None]
+        hcp = jnp.einsum("mri,mrj->mij", jc * wv, jp)
+        info = hcc - jnp.einsum(
+            "mij,mjk,mlk->il", hcp, jnp.linalg.inv(hpp), hcp
+        )
+        info = 0.5 * (info + info.T)
+        # PSD projection: the f32 Schur complement cancels ~f^2-scale
+        # terms, and roundoff leaves slightly NEGATIVE eigenvalues — an
+        # indefinite "information" matrix gives the pose graph descent
+        # directions that COLLAPSE the rig (reproduced in tests)
+        evals, evecs = jnp.linalg.eigh(info)
+        info = (evecs * jnp.maximum(evals, 0.0)[None, :]) @ evecs.T
+        # the monocular scale gauge leaves ~zero information ALONG the
+        # translation direction; the factor's norm is pinned to the seed
+        # baseline (a real prior), so that prior's curvature — the same
+        # kappa^2 row the solve used — must ride along, or a pose graph
+        # built from these factors can shrink the whole rig cost-free
+        t_hat = camp[3:6] / jnp.maximum(jnp.linalg.norm(camp[3:6]), 1e-9)
+        info = info.at[3:6, 3:6].add(kappa * kappa * jnp.outer(t_hat, t_hat))
+        if fix_rotations:
+            # the pinned rotation is rig-prior knowledge, not a two-view
+            # measurement: give it weight comparable to the strongest
+            # translation direction
+            rot_w = jnp.max(jnp.diagonal(info)[3:6]) + 1.0
+            rot = jnp.arange(3)
+            info = info.at[rot, :].set(0.0).at[:, rot].set(0.0)
+            info = info.at[rot, rot].set(rot_w)
+
+        aa_out, t_out = camp[0:3], camp[3:6]
+        # scale gauge: renormalize to the seed baseline length
+        norm = jnp.linalg.norm(t_out)
+        scale = jnp.where(norm > 1e-9, jnp.linalg.norm(t_r) / norm, 1.0)
+        return aa_out, t_out * scale, info
+
+    return jax.vmap(solve_edge)(aa_seed, t_seed, uv_a, uv_b, w)

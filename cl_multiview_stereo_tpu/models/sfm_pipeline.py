@@ -66,6 +66,7 @@ def run_sfm(
     fix_rotations: bool = True,
     outlier_px: float = 6.0,
     intrinsics: np.ndarray | None = None,
+    use_pose_graph: bool = False,
 ) -> SfmResult:
     """Full SfM on a (V, H, W, 3) uint8 camera-array batch.
 
@@ -73,6 +74,11 @@ def run_sfm(
     camera 0 is pinned and the seed keeps the free scale near the prior).
     ``mesh``: optional device mesh — uses the observation-sharded
     distributed BA (``sfm.bundle_adjust_sharded``) when given.
+    ``use_pose_graph``: run the pose-graph backend first — per-edge
+    two-view BA factors (``sfm.two_view_relative``) over the grid-adjacent
+    match graph, a relative-pose solve (``sfm.pose_graph_optimize``, loop
+    closures from the grid's 4-cycles), and THAT solution seeds the Schur
+    BA (the BASELINE north-star pipeline shape).
     """
     v, h, w = rgb.shape[:3]
     s = settings
@@ -113,6 +119,33 @@ def run_sfm(
     xy = np.asarray(kp.xy)
     uv_a = xy[pa, idx[:, 0]]
     uv_b = xy[pb, idx[:, 1]]
+
+    if use_pose_graph:
+        # measured relative factors from each adjacent pair's own matches
+        # (two-view BA, vmapped over edges; scale gauged to the seed
+        # baseline), then the relative-pose solve from the seed — its
+        # output becomes the BA seed below
+        edges = jnp.asarray(pairs, jnp.int32)
+        rel_seed_aa, rel_seed_t = sfm.relative_from_absolute(
+            jnp.asarray(aa0), jnp.asarray(t0), edges
+        )
+        m_uv_a = xy[pairs[:, 0][:, None], np.asarray(matches.idx)[..., 0]]
+        m_uv_b = xy[pairs[:, 1][:, None], np.asarray(matches.idx)[..., 1]]
+        rel_aa, rel_t, rel_info = sfm.two_view_relative(
+            jnp.asarray(m_uv_a), jnp.asarray(m_uv_b),
+            jnp.asarray(np.asarray(matches.valid), jnp.float32),
+            jnp.asarray(intr), rel_seed_aa, rel_seed_t,
+            fix_rotations=fix_rotations, outlier_px=outlier_px,
+        )
+        graph = sfm.PoseGraph(
+            edges=edges, rel_aa=rel_aa, rel_t=rel_t,
+            w_rot=jnp.ones(len(pairs)), w_t=jnp.ones(len(pairs)),
+            info=rel_info,
+        )
+        aa_pg, t_pg = sfm.pose_graph_optimize(
+            graph, jnp.asarray(aa0), jnp.asarray(t0)
+        )
+        aa0, t0 = np.asarray(aa_pg), np.asarray(t_pg)
 
     X_tri = np.asarray(
         sfm.triangulate(

@@ -40,6 +40,51 @@ _BIG = 1.0e6
 
 _SAMPLE_OFFSETS = tuple((i, j) for i in range(-2, 3) for j in range(-2, 3))
 
+_WIN_TILE = 512  # rows per grid step of the window-extraction kernel
+
+
+def _win_extract_kernel(lo_ref, hi_ref, rot_ref, off_ref, out_ref):
+    """Per row: out[l] = strip_pair[rot + offs[l]] — the whole hypothesis
+    ladder's (d, channel) values resolved by one 128-lane ``take_along_axis``
+    over the UNROTATED aligned block pair (see BASELINE round 5: partial-row
+    gathers at arbitrary offsets are ~500x slower than this)."""
+    idx = rot_ref[:] + off_ref[:]  # (tile, 1) + (1, 128) -> (tile, 128)
+    v_lo = jnp.take_along_axis(lo_ref[:], jnp.clip(idx, 0, 127), axis=1)
+    v_hi = jnp.take_along_axis(hi_ref[:], jnp.clip(idx - 128, 0, 127), axis=1)
+    out_ref[:] = jnp.where(idx < 128, v_lo, v_hi)
+
+
+def _win_extract(lo, hi, rot, offs: tuple, interpret: bool = False):
+    """lo/hi: (R, 128) f32; rot: (R, 1) int32; offs: 128 static lane
+    offsets.  Returns (R, 128) extracted values."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    r = lo.shape[0]
+    pad = (-r) % _WIN_TILE
+    if pad:
+        lo = jnp.pad(lo, ((0, pad), (0, 0)))
+        hi = jnp.pad(hi, ((0, pad), (0, 0)))
+        rot = jnp.pad(rot, ((0, pad), (0, 0)))
+    rp = r + pad
+    interpret = interpret or jax.default_backend() != "tpu"
+    bspec = pl.BlockSpec(
+        (_WIN_TILE, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    rspec = pl.BlockSpec(
+        (_WIN_TILE, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    ospec = pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _win_extract_kernel,
+        out_shape=jax.ShapeDtypeStruct((rp, 128), jnp.float32),
+        grid=(rp // _WIN_TILE,),
+        in_specs=[bspec, bspec, rspec, ospec],
+        out_specs=bspec,
+        interpret=interpret,
+    )(lo, hi, rot, jnp.asarray(offs, jnp.int32)[None, :])
+    return out[:r]
+
 
 @partial(jax.jit, static_argnums=(5, 6))
 def superpixel_cost_volume(
@@ -369,7 +414,12 @@ def superpixel_cost_volume_strips(
 
     def strip_gather(operand, starts, length_elems):
         """Gather (1, 1, length_elems) slices from a pixel-flattened
-        (V, A, 3*B) operand: starts (..., 3) = [view, a, 3*b]."""
+        (V, A, 3*B) operand: starts (..., 3) = [view, a, 3*b].
+
+        CAUTION (round-5 measurement): partial-row slices at arbitrary
+        offsets lower to a scalar DMA path at ~0.4 M rows/s — only the
+        DIAGONAL band path still uses this form (opt-in diag_strips);
+        the axis classes use the aligned-pair kernel below."""
         dn = jax.lax.GatherDimensionNumbers(
             offset_dims=(starts.ndim - 1,),
             collapsed_slice_dims=(0, 1),
@@ -385,62 +435,74 @@ def superpixel_cost_volume_strips(
 
     def axis_pair_acc(gx: int, gy: int, acc0):
         """(D, V, Mh, Mw) accumulated sample costs for one axis-aligned
-        delta.  Outer lax.scan over 5-sample chunks (the scan body's strip
-        buffer is reused across iterations — unrolled chunk loops left one
-        ~0.75 GB strip alive per chunk, ~6 GB of temps per delta), inner
-        lax.scan over the hypothesis ladder."""
+        delta.
+
+        Round-5 form: per (cell, sample) gather the ALIGNED 256-element
+        block pair covering the whole ladder's window (full-row takes — the
+        fast gather path; see pallas.consistency._strip_gather) and resolve
+        every (hypothesis, channel) value in ONE Mosaic lane gather with
+        the window rotation folded into the static lane offsets.  The
+        hypothesis loop disappears; SAD/validity/sample-sum are plain
+        vectorized XLA with the exact per-hypothesis f32 arithmetic of the
+        dense form."""
+        from cl_multiview_stereo_tpu.ops.pallas.consistency import (
+            _strip_gather as aligned_pair_gather,
+        )
+
         dz = gy * ah + gx
         nv = (jnp.arange(v, dtype=jnp.int32) + dz) % v
         sxl, syl = _shift_lists(disp_levels, gx, gy, bl_ratio)
-        if gy == 0:
-            lo, hi = min(sxl), max(sxl)
-        else:
-            lo, hi = min(syl), max(syl)
+        shifts = sxl if gy == 0 else syl
+        lo, hi = min(shifts), max(shifts)
         length = hi - lo + 1
+        assert 3 * length <= 128, (
+            "ladder window exceeds one lane block — use the dense sweep"
+        )
+        # static lane offsets: lane 3*i+c reads element 3*(hi-shift_i)+c
+        offs_l = [0] * 128
+        for i, sh_i in enumerate(shifts):
+            for c in range(3):
+                offs_l[3 * i + c] = 3 * (hi - sh_i) + c
+        if gy == 0:
+            table = padded3.reshape(v * hp, 3 * wp)
+        else:
+            table = padded_t3.reshape(v * wp, 3 * hp)
 
-        def chunked(a):  # (V, Mh, 25, Mw, ...) -> (5, V, Mh, 5, Mw, ...)
-            return jnp.moveaxis(
-                a.reshape(a.shape[:2] + (5, 5) + a.shape[3:]), 2, 0
-            )
+        def chunked(a):  # (V, Mh, 25, Mw, ...) -> (25, V, Mh, 1, Mw, ...)
+            return jnp.moveaxis(a[:, :, :, None], 2, 0)
 
         xs = (chunked(xr), chunked(yr), chunked(c_ref), chunked(ref_ok),
               chunked(xrf), chunked(yrf))
+        d_arr = jnp.asarray(dl32)  # (D,)
 
         def chunk_body(acc, x):
             xr_c, yr_c, c_ref_c, ref_ok_c, xrf_c, yrf_c = x
             if gy == 0:
-                starts = jnp.stack(
-                    jnp.broadcast_arrays(
-                        nv[:, None, None, None],
-                        yr_c + max_sy,
-                        3 * (xr_c - hi + max_sx),
-                    ),
-                    axis=-1,
-                )
-                strip = strip_gather(padded3, starts, 3 * length)
+                row = nv[:, None, None, None] * hp + (yr_c + max_sy)
+                col = 3 * (xr_c - hi + max_sx)
             else:
-                starts = jnp.stack(
-                    jnp.broadcast_arrays(
-                        nv[:, None, None, None],
-                        xr_c + max_sx,
-                        3 * (yr_c - hi + max_sy),
-                    ),
-                    axis=-1,
-                )
-                strip = strip_gather(padded_t3, starts, 3 * length)
-
-            def per_d(_, d):
-                sxd = jnp.ceil(d * gx).astype(jnp.int32)
-                syd = jnp.ceil(bl_ratio * d * gy).astype(jnp.int32)
-                sel_i = (hi - sxd) if gy == 0 else (hi - syd)
-                val = jax.lax.dynamic_slice_in_dim(strip, 3 * sel_i, 3, axis=4)
-                sad = jnp.sum(jnp.abs(c_ref_c - val), axis=-1)
-                px = xrf_c - d * gx
-                py = yrf_c - bl_ratio * d * gy
-                ok = ref_ok_c & (px > -1.0) & (px < w) & (py > -1.0) & (py < h)
-                return _, jnp.sum(jnp.where(ok, sad, _OOB_PENALTY), axis=2)
-
-            _, acc_c = jax.lax.scan(per_d, 0, jnp.asarray(dl32))
+                row = nv[:, None, None, None] * wp + (xr_c + max_sx)
+                col = 3 * (yr_c - hi + max_sy)
+            lo_g, hi_g, rot = aligned_pair_gather(table, row, col)
+            shp = row.shape  # (V, Mh, 1, Mw)
+            n_rows = shp[0] * shp[1] * shp[2] * shp[3]
+            val = _win_extract(
+                lo_g.reshape(n_rows, 128), hi_g.reshape(n_rows, 128),
+                rot.reshape(n_rows, 1), tuple(offs_l),
+            ).reshape(shp + (128,))[..., : 3 * len(shifts)]
+            val = val.reshape(shp + (len(shifts), 3))
+            sad = jnp.sum(
+                jnp.abs(c_ref_c[..., None, :] - val), axis=-1
+            )  # (V, Mh, 1, Mw, D)
+            px = xrf_c[..., None] - d_arr * np.float32(gx)
+            py = yrf_c[..., None] - np.float32(bl_ratio) * d_arr * np.float32(gy)
+            ok = (
+                ref_ok_c[..., None]
+                & (px > -1.0) & (px < w) & (py > -1.0) & (py < h)
+            )
+            acc_c = jnp.moveaxis(
+                jnp.sum(jnp.where(ok, sad, _OOB_PENALTY), axis=2), -1, 0
+            )  # (D, V, Mh, Mw)
             return acc + acc_c, None
 
         acc, _ = jax.lax.scan(chunk_body, acc0 * 0.0, xs)

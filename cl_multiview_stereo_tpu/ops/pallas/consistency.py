@@ -62,6 +62,11 @@ _ESC_BLOCKS = 768  # escape blocks re-evaluated per pair-chunk (static cap)
 # every traced program in this module).
 _PAIR_CHUNK = 3
 
+# PROBE-ONLY (tools/probe_cons_bisect.py): trace the engine WITHOUT the
+# exact escape fixup to localize the full-scale axon worker crash.  Output
+# is then NOT exact — never set outside a crash-bisection process.
+_DISABLE_ESC_FIXUP = False
+
 
 def _cl_round(x):
     """OpenCL round(): half away from zero."""
@@ -87,11 +92,13 @@ def classify_pairs(pairs: tuple):
 # ---------------------------------------------------------------------------
 
 
-def _terms_kernel(strip_ref, idx_ref, aux_ref, out_ref, *, gamma, alpha, fuse):
+def _terms_kernel(lo_ref, hi_ref, idx_ref, aux_ref, out_ref, *, gamma, alpha, fuse):
     """Per row r (= one (pair, cell, sample)) and lane layout c*32+m:
 
-    in : strip[r, 4*off+c] = ras channel c at window position off
-         idx[r, c*32+m]    = 4*off(r, m)+c, or -1 (invalid/escape/pad)
+    in : [lo|hi][r, :] = UNROTATED aligned 2*_LANES strip (two 128-lane
+         refs: tpu.dynamic_gather cannot cross 128 lanes); the window
+         rotation is folded into idx, so the lane gather rotates for free
+         idx[r, c*32+m]    = rot(r) + 4*off(r, m)+c in [0, 2*_LANES), or -1
          aux[r, 0:32]      = dip(r, m);  aux[r, 32c+m] = colp_c (c >= 1)
     out: [0:32)  wv = ok * (|d_look - dip| < fuse)
          [32:64) e1 = wv * exp(-diff^2 * alpha)
@@ -99,7 +106,11 @@ def _terms_kernel(strip_ref, idx_ref, aux_ref, out_ref, *, gamma, alpha, fuse):
     """
     idx = idx_ref[:]
     ok = idx >= 0
-    val = jnp.take_along_axis(strip_ref[:], jnp.clip(idx, 0, _LANES - 1), axis=1)
+    v_lo = jnp.take_along_axis(lo_ref[:], jnp.clip(idx, 0, _LANES - 1), axis=1)
+    v_hi = jnp.take_along_axis(
+        hi_ref[:], jnp.clip(idx - _LANES, 0, _LANES - 1), axis=1
+    )
+    val = jnp.where(idx < _LANES, v_lo, v_hi)
     t = val - aux_ref[:]
     tsq = jnp.where(ok, t * t, 0.0)
     # color distance: fold the three c>=1 groups down onto lanes [0:32)
@@ -118,9 +129,39 @@ def _terms_kernel(strip_ref, idx_ref, aux_ref, out_ref, *, gamma, alpha, fuse):
     )
 
 
-def _run_terms(strip, idx, aux, *, gamma, alpha, fuse, interpret=False):
-    """strip/idx/aux: (R, 128) with R a multiple of _ROW_TILE."""
-    r = strip.shape[0]
+def _run_terms_xla(lo, hi, idx, aux, *, gamma, alpha, fuse):
+    """Pure-XLA twin of ``_terms_kernel`` (bitwise-equal; differential test
+    in tests/test_consistency_strips.py) — an alternative lane backend for
+    environments where the Mosaic path misbehaves."""
+    ok = idx >= 0
+    v_lo = jnp.take_along_axis(lo, jnp.clip(idx, 0, _LANES - 1), axis=1)
+    v_hi = jnp.take_along_axis(hi, jnp.clip(idx - _LANES, 0, _LANES - 1), axis=1)
+    val = jnp.where(idx < _LANES, v_lo, v_hi)
+    t = val - aux
+    tsq = jnp.where(ok, t * t, 0.0)
+    cd = (
+        jnp.roll(tsq, 96, axis=1)
+        + jnp.roll(tsq, 64, axis=1)
+        + jnp.roll(tsq, 32, axis=1)
+    )
+    okf = ok.astype(jnp.float32)
+    wv = okf * (jnp.abs(t) < fuse).astype(jnp.float32)
+    e1 = wv * jnp.exp(-tsq * alpha)
+    e2 = okf * jnp.exp(-cd * gamma)
+    lane = jax.lax.broadcasted_iota(jnp.int32, idx.shape, 1)
+    m0 = (lane < _MOVE_SLOTS).astype(jnp.float32)
+    return (
+        m0 * wv + jnp.roll(m0 * e1, 32, axis=1) + jnp.roll(m0 * e2, 64, axis=1)
+    )
+
+
+def _run_terms(lo, hi, idx, aux, *, gamma, alpha, fuse, interpret=False,
+               lane_backend: str = "pallas"):
+    """lo/hi/idx/aux: (R, 128) with R a multiple of _ROW_TILE."""
+    if lane_backend == "xla":
+        return _run_terms_xla(lo, hi, idx, aux, gamma=gamma, alpha=alpha,
+                              fuse=fuse)
+    r = lo.shape[0]
     interpret = interpret or jax.default_backend() != "tpu"
     kern = partial(_terms_kernel, gamma=gamma, alpha=alpha, fuse=fuse)
     bspec = pl.BlockSpec(
@@ -130,10 +171,10 @@ def _run_terms(strip, idx, aux, *, gamma, alpha, fuse, interpret=False):
         kern,
         out_shape=jax.ShapeDtypeStruct((r, _LANES), jnp.float32),
         grid=(r // _ROW_TILE,),
-        in_specs=[bspec, bspec, bspec],
+        in_specs=[bspec, bspec, bspec, bspec],
         out_specs=bspec,
         interpret=interpret,
-    )(strip, idx, aux)
+    )(lo, hi, idx, aux)
 
 
 # ---------------------------------------------------------------------------
@@ -142,16 +183,35 @@ def _run_terms(strip, idx, aux, *, gamma, alpha, fuse, interpret=False):
 
 
 def _strip_gather(table, row_id, col_start):
-    """Gather (1, _LANES) rows from a (rows, cols*4) interleaved table."""
-    dn = jax.lax.GatherDimensionNumbers(
-        offset_dims=(row_id.ndim,),
-        collapsed_slice_dims=(0,),
-        start_index_map=(0, 1),
+    """Gather the ALIGNED 2*_LANES-wide block pair covering the _LANES
+    window at (row_id, col_start) from a (rows, cols*4) interleaved table.
+
+    Returns ``(lo, hi, rot)``: two (..., _LANES) UNROTATED halves plus the
+    window's offset into them — the lane-gather kernel folds ``rot`` into
+    its indices, so no rotation pass exists at all.
+
+    Why not one gather at the exact column?  ``lax.gather`` with slice
+    (1, _LANES) at arbitrary offsets lowers to a scalar DMA path at
+    0.4 M rows/s / 0.2 GiB/s (round-5 probe, ~500x below the full-row
+    take rate); a full-scale sweep then runs for minutes and the axon
+    watchdog kills the worker — THE root cause of the rounds-3/5 strips
+    "crashes".  Full-row takes of an overlapped (rows*B, 2*_LANES) block
+    table hit the measured fast gather path instead."""
+    rows, cols = table.shape
+    b_cnt = -(-cols // _LANES) + 1  # one extra block: the overlap's wrap
+    tp = jnp.pad(table, ((0, 0), (0, b_cnt * _LANES - cols)))
+    a = tp.reshape(rows, b_cnt, _LANES)
+    blocks = jnp.concatenate([a, jnp.roll(a, -1, axis=1)], axis=-1)
+    flat = blocks.reshape(rows * b_cnt, 2 * _LANES)
+    b = jnp.clip(col_start // _LANES, 0, b_cnt - 1)
+    rot = jnp.clip(col_start - b * _LANES, 0, _LANES - 1)
+    w2 = flat[(row_id * b_cnt + b).reshape(-1)].reshape(
+        row_id.shape + (2 * _LANES,)
     )
-    starts = jnp.stack([row_id, col_start], axis=-1)
-    return jax.lax.gather(
-        table, starts, dn, slice_sizes=(1, _LANES),
-        mode=jax.lax.GatherScatterMode.CLIP,
+    return (
+        jax.lax.slice_in_dim(w2, 0, _LANES, axis=-1),
+        jax.lax.slice_in_dim(w2, _LANES, 2 * _LANES, axis=-1),
+        rot,
     )
 
 
@@ -172,6 +232,7 @@ def _class_sums(
     *,
     gamma, alpha, fuse,
     interpret: bool = False,
+    lane_backend: str = "pallas",
 ):
     """The five consistency partial sums for one strip class, all moves at
     once.  Returns ((num, visib_sum, visible, visibility, occl_sum) each
@@ -244,14 +305,14 @@ def _class_sums(
         esc = inb & ((off < 0) | (off >= _WIN))
         ok = inb & ~esc
 
-        # ---- staging gather: one 128-f32 strip per (pair, cell, sample) --
+        # ---- staging gather: aligned block pair per (pair, cell, sample) -
         row_id = nbrs_k[:, None, None, None] * a_dim + jnp.clip(
             fix_pos, 0, a_dim - 1
         )
-        strip = _strip_gather(table, row_id, 4 * start_lo)  # (C,Mh,9,Mw,128)
+        s_lo, s_hi, rot = _strip_gather(table, row_id, 4 * start_lo)
 
-        # ---- kernel inputs ----------------------------------------------
-        idx = jnp.where(ok, 4 * off, -1)  # (C, Mh, 9, Mw, 32)
+        # ---- kernel inputs (window rotation folded into the indices) -----
+        idx = jnp.where(ok, 4 * off + rot[..., None], -1)  # (C, Mh, 9, Mw, 32)
         idx4 = jnp.where(
             idx[..., None, :] >= 0, idx[..., None, :] + iota4, -1
         )  # (C, Mh, 9, Mw, 4, 32): lane c*32+m
@@ -271,8 +332,9 @@ def _class_sums(
             a.reshape(-1, _LANES), ((0, rc_pad), (0, 0)), constant_values=cv
         )
         out = _run_terms(
-            pad2(strip, 0), pad2(idx4, -1), pad2(aux, 0),
+            pad2(s_lo, 0), pad2(s_hi, 0), pad2(idx4, -1), pad2(aux, 0),
             gamma=gamma, alpha=alpha, fuse=fuse, interpret=interpret,
+            lane_backend=lane_backend,
         )[:rc_rows].reshape(_PAIR_CHUNK, mh, 9, mw, _LANES)
         wv = out[..., 0:_MOVE_SLOTS]
         e1 = out[..., _MOVE_SLOTS : 2 * _MOVE_SLOTS]
@@ -286,6 +348,9 @@ def _class_sums(
         visibility = jnp.sum(e2, axis=2)
 
         # ---- exact escape fixup (block-compacted narrow gather) ----------
+        if _DISABLE_ESC_FIXUP:  # crash-bisection probes only
+            occl_sum = num - visib_sum
+            return esc_overflow, (num, visib_sum, visible, visibility, occl_sum)
         esc_flat = esc.reshape(-1)
         if flat_pad:
             esc_flat = jnp.pad(esc_flat, (0, flat_pad))
@@ -425,6 +490,7 @@ def consistency_moves(
     gamma, alpha, fuse, bl_ratio,
     pairs: tuple,
     interpret: bool = False,
+    lane_backend: str = "pallas",
 ):
     """Consistency scores for ALL candidate moves of one sweep at once.
 
@@ -443,7 +509,7 @@ def consistency_moves(
                 ctx, cache, d_c[lo : lo + _MOVE_SLOTS],
                 n_c[lo : lo + _MOVE_SLOTS], state_d, state_n,
                 gamma=gamma, alpha=alpha, fuse=fuse, bl_ratio=bl_ratio,
-                pairs=pairs, interpret=interpret,
+                pairs=pairs, interpret=interpret, lane_backend=lane_backend,
             )
             outs.append(cs_i)
             esc = esc + esc_i
@@ -451,13 +517,14 @@ def consistency_moves(
     return _consistency_moves_32(
         ctx, cache, d_c, n_c, state_d, state_n,
         gamma=gamma, alpha=alpha, fuse=fuse, bl_ratio=bl_ratio,
-        pairs=pairs, interpret=interpret,
+        pairs=pairs, interpret=interpret, lane_backend=lane_backend,
     )
 
 
 def _consistency_moves_32(
     ctx, cache, d_c, n_c, state_d, state_n, *,
     gamma, alpha, fuse, bl_ratio, pairs: tuple, interpret: bool = False,
+    lane_backend: str = "pallas",
 ):
     v, mh, mw = state_d.shape
     m = d_c.shape[0]
@@ -518,7 +585,7 @@ def _consistency_moves_32(
                 ras_flat, table_h, (h_img, w_img), False, cls, sx, sy,
                 safe_i32(dip_all), safe_i32(dip0), dip_all, finite_all,
                 ctx.color, m, gamma=gamma, alpha=alpha, fuse=fuse,
-                interpret=interpret,
+                interpret=interpret, lane_backend=lane_backend,
             )
             esc_total = esc_total + esc
             for k, i in enumerate(h_idx):
@@ -539,6 +606,7 @@ def _consistency_moves_32(
                 safe_i32(bl_ratio * dip_all), safe_i32(bl_ratio * dip0),
                 dip_all, finite_all, ctx.color, m,
                 gamma=gamma, alpha=alpha, fuse=fuse, interpret=interpret,
+                lane_backend=lane_backend,
             )
             esc_total = esc_total + esc
             for k, i in enumerate(v_idx):

@@ -60,7 +60,12 @@ _MARGIN = 0.01
 _EPS_SM = 0.000001
 # Moves scored together in one batched gather (bounds the (C, V, Mh, Mw,
 # n_views, 9) consistency temporaries to ~C x 100 MB at 1080p x 9 views).
-_SCORE_CHUNK = 4
+# Import-time constant; the env override exists for memory probes
+# (tools/memcheck.py) — changing it mid-process has no effect on already-
+# traced programs.
+import os as _os
+
+_SCORE_CHUNK = int(_os.environ.get("REFINE_SCORE_CHUNK", "4"))
 
 
 class RefineState(NamedTuple):
@@ -423,6 +428,7 @@ def consistency_from_cache(
     pairs: tuple,
     img_hw: tuple[int, int] | None = None,
     ras_rows=None,
+    pair_layout: str = "packed",
 ) -> jax.Array:
     """cl:1260-1357 / cl:1528-1631: the stored-plane interpolation at the
     projected pixel equals the rasterized input state there, so the whole
@@ -440,6 +446,16 @@ def consistency_from_cache(
     (parallel/spatial.py) — ``cache.ras`` then holds only pixel rows
     ``[row_lo, row_lo + rows_ext)`` of each view (a halo-extended block) and
     projections outside that window count as out-of-frame.
+
+    ``pair_layout``: ``"packed"`` (default) evaluates the static pair list
+    as one (P, ...) batch — fewest gather rows, but under GSPMD view
+    sharding every (P, ...) temporary is REPLICATED per device (the
+    config-4 memory wall, BASELINE.md round 4).  ``"view"`` regroups the
+    pairs by ref view into <= Pv slots and accumulates slot-by-slot: every
+    temporary keeps the leading view axis (so it SHARDS with the view
+    mesh) and peaks at one (V, Mh, 9, Mw) slab instead of (P, Mh, 9, Mw).
+    Bitwise-equal to "packed" (slot order == subset order per view; padded
+    slots contribute exact zeros; tests/test_refine.py).
     """
     import numpy as np
 
@@ -450,6 +466,12 @@ def consistency_from_cache(
 
     if len(pairs) == 0:
         return jnp.full(out_shape, _MARGIN, jnp.float32)
+    if pair_layout == "view":
+        return _consistency_viewpairs(
+            ctx, cache, d0, n0, gamma=gamma, alpha=alpha, fuse=fuse,
+            bl_ratio=bl_ratio, pairs=pairs, img_hw=img_hw, ras_rows=ras_rows,
+        )
+    assert pair_layout == "packed", pair_layout
 
     refs = np.asarray([p[0] for p in pairs], np.int32)
     nbrs = jnp.asarray([p[1] for p in pairs], jnp.int32)
@@ -542,6 +564,127 @@ def consistency_from_cache(
     )
 
 
+def _viewpair_tables(pairs: tuple, v: int):
+    """Static pair list -> per-ref-view slot tables (V, Pv): neighbor id,
+    baseline deltas, validity.  Slot order within a view preserves the
+    subset (pair-list) order, so a slot-ordered accumulation reproduces the
+    reference's per-view floating-point sum exactly."""
+    import numpy as np
+
+    by_view: list[list] = [[] for _ in range(v)]
+    for p in pairs:
+        by_view[int(p[0])].append(p)
+    pv = max((len(b) for b in by_view), default=1) or 1
+    nbr = np.zeros((v, pv), np.int32)
+    dvx = np.zeros((v, pv), np.float32)
+    dvy = np.zeros((v, pv), np.float32)
+    val = np.zeros((v, pv), np.bool_)
+    for z, b in enumerate(by_view):
+        for k, p in enumerate(b):
+            nbr[z, k] = int(p[1])
+            dvx[z, k] = float(p[2])
+            dvy[z, k] = float(p[3])
+            val[z, k] = True
+    return pv, nbr, dvx, dvy, val
+
+
+def _consistency_viewpairs(
+    ctx: RefineContext,
+    cache: IterCache,
+    d0: jax.Array,
+    n0: jax.Array,
+    *,
+    gamma: float,
+    alpha: float,
+    fuse: float,
+    bl_ratio: float,
+    pairs: tuple,
+    img_hw: tuple[int, int] | None = None,
+    ras_rows=None,
+) -> jax.Array:
+    """``pair_layout="view"`` body of :func:`consistency_from_cache` — see
+    there for semantics.  Every array keeps the leading view axis, so the
+    whole scorer shards over a ``view`` mesh axis with per-device temps
+    ~(V/n) * Mh * 9 * Mw per slot instead of the packed form's replicated
+    (P, Mh, 9, Mw) slabs (the config-4 fix, VERDICT r4 item 3)."""
+    import numpy as np
+
+    h, w = img_hw if img_hw is not None else ctx.labels.shape[1:3]
+    v = d0.shape[0]
+    center = ctx.center
+    out_shape = d0.shape
+    pv, nbr, dvx, dvy, val = _viewpair_tables(pairs, v)
+
+    cx = center[..., 0][:, :, None, :]  # (V, Mh, 1, Mw)
+    cy = center[..., 1][:, :, None, :]
+    sx = cx.astype(jnp.int32) + ctx.samples[..., 0]  # (V, Mh, 9, Mw)
+    sy = cy.astype(jnp.int32) + ctx.samples[..., 1]
+    nx = n0[..., 0][:, :, None, :]
+    ny = n0[..., 1][:, :, None, :]
+    nz = n0[..., 2][:, :, None, :]
+    dip = (
+        nx * (cx - sx.astype(jnp.float32))
+        + ny * (cy - sy.astype(jnp.float32))
+        + nz * d0[:, :, None, :]
+    ) / nz  # (V, Mh, 9, Mw)
+
+    cons = jnp.zeros(out_shape, jnp.float32)
+    cnt = jnp.zeros(out_shape, jnp.float32)
+    for k in range(pv):
+        dvx_k = jnp.asarray(dvx[:, k])[:, None, None, None]
+        dvy_k = jnp.asarray(dvy[:, k])[:, None, None, None]
+        nbr_k = jnp.asarray(nbr[:, k])[:, None, None, None]
+        val_k = jnp.asarray(val[:, k])[:, None, None]  # (V, 1, 1) bool
+        xp = sx - _cl_round(dip * dvx_k).astype(jnp.int32)
+        yp = sy - _cl_round(bl_ratio * dip * dvy_k).astype(jnp.int32)
+        inb = (xp >= 0) & (yp >= 0) & (xp < w) & (yp < h)
+        if ras_rows is None:
+            flat = (
+                nbr_k * (h * w)
+                + jnp.clip(yp, 0, h - 1) * w
+                + jnp.clip(xp, 0, w - 1)
+            )
+        else:
+            row_lo, rows_ext = ras_rows
+            inb = inb & (yp >= row_lo) & (yp < row_lo + rows_ext)
+            yloc = jnp.clip(yp - row_lo, 0, rows_ext - 1)
+            flat = nbr_k * (rows_ext * w) + yloc * w + jnp.clip(xp, 0, w - 1)
+        g = cache.ras[flat.reshape(-1)].reshape(flat.shape + (4,))
+
+        diff = g[..., 0] - dip
+        when_visible = (jnp.abs(diff) < fuse).astype(jnp.float32)
+        inbf = inb.astype(jnp.float32)
+        visible = jnp.sum(
+            inbf * when_visible * jnp.exp(-diff * diff * alpha), axis=2
+        )
+        visib_sum = jnp.sum(inbf * when_visible, axis=2)
+        occl_sum = jnp.sum(inbf * (1.0 - when_visible), axis=2)
+        cdiff = sum(
+            (g[..., 1 + c] - ctx.color[..., c][:, :, None, :]) ** 2
+            for c in range(3)
+        )
+        visibility = jnp.sum(inbf * jnp.exp(-cdiff * gamma), axis=2)
+        num = jnp.sum(inbf, axis=2)  # (V, Mh, Mw)
+
+        contrib = jnp.where(
+            visib_sum > 0,
+            (visib_sum / jnp.maximum(num, 1.0))
+            * (visibility / jnp.maximum(visib_sum, 1e-30))
+            * (visible / jnp.maximum(visib_sum, 1e-30)),
+            0.0,
+        )
+        contrib = contrib + jnp.where(occl_sum > 0, 0.5 * ctx.fl[..., 1], 0.0)
+        has = (num > 0).astype(jnp.float32)
+        # where (not multiply): a padded slot's garbage gather may be NaN
+        cons = cons + jnp.where(val_k, contrib, 0.0)
+        cnt = cnt + jnp.where(val_k, has, 0.0)
+    return jnp.where(
+        cnt > 0,
+        jnp.maximum(_MARGIN, cons / jnp.maximum(cnt, 1.0)),
+        _MARGIN,
+    )
+
+
 # ---------------------------------------------------------------------------
 # State init (cl:1362-1404)
 # ---------------------------------------------------------------------------
@@ -567,7 +710,7 @@ def init_state(
     jax.jit,
     static_argnames=(
         "gamma", "alpha", "fuse", "bl_ratio", "steps", "step_size", "pairs",
-        "spixl_size", "label_radius",
+        "spixl_size", "label_radius", "pair_layout",
     ),
 )
 def _init_state(
@@ -582,6 +725,7 @@ def _init_state(
     pairs: tuple,
     spixl_size: int = 8,
     label_radius: int = 1,
+    pair_layout: str = "packed",
 ) -> RefineState:
     d0 = ctx.disp0
     n0 = jnp.zeros(d0.shape + (3,), jnp.float32).at[..., 2].set(1.0)
@@ -592,7 +736,7 @@ def _init_state(
     sm = smoothness_from_cache(cache, d0, n0, alpha=alpha)
     cs = consistency_from_cache(
         ctx, cache, d0, n0, gamma=gamma, alpha=alpha, fuse=fuse,
-        bl_ratio=bl_ratio, pairs=pairs,
+        bl_ratio=bl_ratio, pairs=pairs, pair_layout=pair_layout,
     )
     return RefineState(d=d0, sm=sm, cs=cs, n=n0)
 
@@ -697,7 +841,7 @@ def propagate_iteration(
     jax.jit,
     static_argnames=(
         "it", "gamma", "alpha", "fuse", "bl_ratio", "steps", "step_size",
-        "pairs", "spixl_size", "label_radius", "cons_engine",
+        "pairs", "spixl_size", "label_radius", "cons_engine", "pair_layout",
     ),
 )
 def _propagate_iteration(
@@ -715,6 +859,7 @@ def _propagate_iteration(
     spixl_size: int = 8,
     label_radius: int = 1,
     cons_engine: str = "gather",
+    pair_layout: str = "packed",
 ) -> RefineState:
     v, mh, mw = state_in.d.shape
     center = ctx.center
@@ -747,7 +892,10 @@ def _propagate_iteration(
     def _score_batch(d_c, n_c):
         """d_c: (M, V, Mh, Mw); n_c: (M, V, Mh, Mw, 3) -> (sm1, cs1)."""
         m = d_c.shape[0]
-        chunk = _SCORE_CHUNK
+        # "view" pair layout is the memory-constrained sharded path
+        # (config-4): one move at a time keeps per-device refinement temps
+        # at 11.0 GB vs 31.0 GB at chunk 4 (tools/memcheck.py, BASELINE r5)
+        chunk = 1 if pair_layout == "view" else _SCORE_CHUNK
         pad = (-m) % chunk
         if pad:
             d_c = jnp.concatenate([d_c, d_c[:pad]], axis=0)
@@ -760,22 +908,25 @@ def _propagate_iteration(
             sm1 = jax.vmap(
                 lambda d, n: smoothness_from_cache(cache, d, n, alpha=alpha)
             )(dci, nci)
-            if cons_engine == "strips":
+            if cons_engine.startswith("strips"):
                 return 0, (sm1,)
             cs1 = jax.vmap(
-                lambda d, n: consistency_from_cache(ctx, cache, d, n, **score_kw)
+                lambda d, n: consistency_from_cache(
+                    ctx, cache, d, n, pair_layout=pair_layout, **score_kw
+                )
             )(dci, nci)
             return 0, (sm1, cs1)
 
         _, ys = jax.lax.scan(body, 0, (dcs, ncs))
         sm1 = ys[0].reshape((-1,) + d_c.shape[1:])[:m]
-        if cons_engine == "strips":
+        if cons_engine.startswith("strips"):
             from cl_multiview_stereo_tpu.ops.pallas.consistency import (
                 consistency_moves,
             )
 
             cs1, esc = consistency_moves(
                 ctx, cache, d_c[:m], n_c[:m], state_in.d, state_in.n,
+                lane_backend="xla" if cons_engine == "strips_xla" else "pallas",
                 **score_kw,
             )
             # Escape-block overflow means narrow-gather fixups were DROPPED
@@ -783,20 +934,24 @@ def _propagate_iteration(
             # guarantee.  It cannot be recovered in-trace (the fixup budget
             # is static), so surface it loudly for the debug path; the
             # static _ESC_BLOCKS budget is sized ~20x the worst case seen
-            # in differential tests.
-            jax.lax.cond(
-                esc > 0,
-                lambda e: jax.debug.print(
-                    "cl_multiview_stereo_tpu: strips consistency engine "
-                    "OVERFLOWED its escape-fixup budget by {e} blocks — "
-                    "scores this sweep are WRONG; rerun with "
-                    "cons_engine='gather' or raise pallas.consistency."
-                    "_ESC_BLOCKS",
-                    e=e,
-                ),
-                lambda e: None,
-                esc,
-            )
+            # in differential tests.  The axon tunnel backend cannot host
+            # debug callbacks (UNIMPLEMENTED: host send/recv) — there the
+            # overflow count is still asserted by utils.debug.checked runs
+            # and the differential tests, just not printed in-flight.
+            if jax.default_backend() != "axon":
+                jax.lax.cond(
+                    esc > 0,
+                    lambda e: jax.debug.print(
+                        "cl_multiview_stereo_tpu: strips consistency engine "
+                        "OVERFLOWED its escape-fixup budget by {e} blocks — "
+                        "scores this sweep are WRONG; rerun with "
+                        "cons_engine='gather' or raise pallas.consistency."
+                        "_ESC_BLOCKS",
+                        e=e,
+                    ),
+                    lambda e: None,
+                    esc,
+                )
         else:
             cs1 = ys[1].reshape((-1,) + d_c.shape[1:])[:m]
         return sm1, cs1
@@ -892,18 +1047,22 @@ def refine(
     spixl_size: int = 8,
     label_radius: int = 1,
     cons_engine: str = "gather",
+    pair_layout: str = "packed",
 ) -> RefineState:
     """Full refinement: init state, then ``no_prop`` Jacobi sweeps with
     decaying reach (depth_refinement.cpp:105-106, 767-769).
 
     ``cons_engine``: "strips" scores all moves' consistency through the
-    strip-staged Pallas kernel (differential-tested equal to "gather",
-    the original per-move packed-gather form).  Default stays "gather":
-    full-scale strips executions have crashed/hung the axon TPU worker
-    (round 4 ledger in BASELINE.md) and could not be timed; flip after
-    the runtime issue is resolved."""
+    strip-staged Pallas kernel; "strips_xla" uses the same staging with a
+    pure-XLA lane resolve (bitwise-equal terms) — built after the round-5
+    bisect isolated the worker crash to the Mosaic kernel at grid counts
+    above ~128.  Default stays "gather" until a strips engine shows a
+    measured full-scale win (BASELINE.md round-5 ledger)."""
     if pairs is None:
         pairs = pairs_from_context(ctx)
+    assert not (cons_engine.startswith("strips") and pair_layout == "view"), (
+        "the strips engines are packed-layout only"
+    )
     kw0 = dict(
         gamma=schedule.gamma_eff,
         alpha=schedule.alpha_eff,
@@ -912,6 +1071,7 @@ def refine(
         pairs=pairs,
         spixl_size=spixl_size,
         label_radius=label_radius,
+        pair_layout=pair_layout,
     )
     del jit  # stage functions are module-level jits (stable cache keys)
     state = init_state(

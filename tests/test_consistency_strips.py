@@ -155,3 +155,43 @@ def test_propagate_strips_matches_gather_engine(scene):
         gb = np.asarray(getattr(b, field))
         close = np.isclose(ga, gb, rtol=1e-3, atol=1e-3)
         assert close.mean() >= 0.995, f"{field}: {close.mean()}"
+
+
+def test_xla_lane_backend_bitwise_equals_pallas(scene):
+    """The pure-XLA lane resolve (round-5 fallback for the Mosaic
+    grid-count fault) must be BITWISE equal to the Pallas kernel across
+    the whole engine, and the whole sweep must match under
+    cons_engine="strips_xla"."""
+    sc = scene
+    state = sc["state"]
+    rng = np.random.default_rng(3)
+    m = 4
+    d_c = jnp.asarray(
+        np.asarray(state.d)[None]
+        + rng.normal(0, 2.0, (m,) + state.d.shape).astype(np.float32)
+    )
+    n_c = jnp.asarray(
+        np.broadcast_to(np.asarray(state.n)[None], (m,) + state.n.shape).copy()
+    )
+    a, ea = consistency_moves(
+        sc["ctx"], sc["cache"], d_c, n_c, state.d, state.n,
+        pairs=sc["pairs"], **sc["kw"],
+    )
+    b, eb = consistency_moves(
+        sc["ctx"], sc["cache"], d_c, n_c, state.d, state.n,
+        pairs=sc["pairs"], lane_backend="xla", **sc["kw"],
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(ea) == int(eb)
+
+    kw = dict(**sc["kw"], pairs=sc["pairs"], steps=1, step_size=16.0)
+    x = refine._propagate_iteration(
+        sc["ctx"], sc["state"], 0, cons_engine="strips_xla", **kw
+    )
+    y = refine._propagate_iteration(
+        sc["ctx"], sc["state"], 0, cons_engine="strips", **kw
+    )
+    for field in ("d", "sm", "cs"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(x, field)), np.asarray(getattr(y, field))
+        )

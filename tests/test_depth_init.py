@@ -168,3 +168,31 @@ def test_strips_mode_equals_dense(scene, bl_ratio, inc, diag_strips):
         jnp.asarray(strips), disp_levels, np.full(lab.shape[0], 1)))
     agree = (wta_d == wta_s).mean()
     assert agree > 0.999, f"strips/dense WTA agreement {agree}"
+
+
+@pytest.mark.parametrize("hw", [(48, 64), (37, 53), (61, 45)])
+def test_extent_windowed_equals_walk(hw):
+    """The windowed-gather extent (4 wide gathers via row/transpose/shear
+    tables) must equal the direct 8*(S-1)-narrow-gather walk BITWISE —
+    including non-multiple-of-spixl_size shapes (shear/table edge cases)."""
+    import jax.numpy as jnp
+
+    from cl_multiview_stereo_tpu.config import SlicParams, SystemSettings
+    from cl_multiview_stereo_tpu.ops import slic
+    from cl_multiview_stereo_tpu.ops.color import rgb_to_lab
+
+    h, w = hw
+    s = SystemSettings(
+        array_width=2, array_height=2, spixl_size=8, min_disp=2, max_disp=6,
+        inc=1, bl_ratio=1.0, kernel_size=8, kernel_step=2, no_prop=1,
+    )
+    rgb, _ = synthetic.two_plane_scene(
+        h, w, array_width=2, array_height=2, disp_bg=3.0, disp_fg=5.0,
+        bl_ratio=1.0, seed=h,
+    )
+    geom = DerivedGeometry.create(w, h, s)
+    lab = rgb_to_lab(jnp.asarray(rgb))
+    labels, spmap = slic.segment(lab, geom, SlicParams.create(s))
+    a = np.asarray(superpixel.superpixel_extent_walk(labels, spmap.center, geom))
+    b = np.asarray(superpixel.superpixel_extent(labels, spmap.center, geom))
+    np.testing.assert_array_equal(a, b)

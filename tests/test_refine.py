@@ -200,3 +200,130 @@ def test_select_cell_lookup_matches_gather(scene):
     )
     want2 = fusion.rasterize_planes_gather(lab2, spmap.center, d, n)
     np.testing.assert_array_equal(np.asarray(got2), np.asarray(want2))
+
+
+def test_consistency_view_layout_bitwise_equals_packed(scene):
+    """pair_layout="view" (per-ref-view slots, the config-4 sharding fix)
+    must reproduce the packed scorer BITWISE: slot order == subset order
+    per view, pads contribute exact zeros."""
+    s, sched, ctx = scene["s"], scene["sched"], scene["ctx"]
+    pairs = refine.pairs_from_subsets(scene["subset"], s.array_width)
+    cache = refine.build_cache(
+        ctx, ctx.disp0, None, gamma=sched.gamma_eff,
+        steps=sched.kernel_steps, step_size=sched.sp_kernel_step,
+    )
+    import jax.numpy as jnp
+
+    d0 = ctx.disp0
+    n0 = jnp.zeros(d0.shape + (3,), np.float32).at[..., 2].set(1.0)
+    kw = dict(
+        gamma=sched.gamma_eff, alpha=sched.alpha_eff, fuse=sched.fuse_eff,
+        bl_ratio=sched.bl_ratio, pairs=pairs,
+    )
+    a = np.asarray(refine.consistency_from_cache(ctx, cache, d0, n0, **kw))
+    b = np.asarray(
+        refine.consistency_from_cache(
+            ctx, cache, d0, n0, pair_layout="view", **kw
+        )
+    )
+    np.testing.assert_array_equal(a, b)
+
+    # and with a non-trivial plane state (random normals)
+    rng = np.random.default_rng(5)
+    nr = rng.normal(0, 0.05, d0.shape + (3,)).astype(np.float32)
+    nr[..., 2] += 1.0
+    a = np.asarray(refine.consistency_from_cache(ctx, cache, d0, jnp.asarray(nr), **kw))
+    b = np.asarray(
+        refine.consistency_from_cache(
+            ctx, cache, d0, jnp.asarray(nr), pair_layout="view", **kw
+        )
+    )
+    np.testing.assert_array_equal(a, b)
+
+
+def test_refine_view_layout_equals_packed(scene):
+    """Full refinement under pair_layout="view" == packed (the accept
+    chain sees identical scores, so the states match bitwise)."""
+    s, sched, ctx = scene["s"], scene["sched"], scene["ctx"]
+    pairs = refine.pairs_from_subsets(scene["subset"], s.array_width)
+    a = refine.refine(ctx, sched, pairs=pairs)
+    b = refine.refine(ctx, sched, pairs=pairs, pair_layout="view")
+    np.testing.assert_array_equal(np.asarray(a.d), np.asarray(b.d))
+    np.testing.assert_array_equal(np.asarray(a.sm), np.asarray(b.sm))
+    np.testing.assert_array_equal(np.asarray(a.cs), np.asarray(b.cs))
+    np.testing.assert_array_equal(np.asarray(a.n), np.asarray(b.n))
+
+
+@pytest.mark.slow
+def test_propagate_mirror_at_reference_geometry():
+    """VERDICT r4 item 6: the accept chain mirror-verified under the
+    SHIPPING geometry — 3x3 views, bl_ratio=1.0359 (clMVDE.cpp:27), both
+    acceptance phases — not just the 2x2/bl=1 fixture above."""
+    s = SystemSettings(
+        array_width=3,
+        array_height=3,
+        spixl_size=8,
+        min_disp=4,
+        max_disp=11,
+        inc=1,
+        bl_ratio=1.0359,  # the reference's committed value
+        kernel_size=8,
+        kernel_step=2,
+        no_prop=5,
+    )
+    views, _ = synthetic.two_plane_scene(
+        48, 64, array_width=3, array_height=3, disp_bg=5.0, disp_fg=9.0,
+        bl_ratio=1.0359, seed=13,
+    )
+    geom = DerivedGeometry.create(64, 48, s)
+    lab = np.asarray(rgb_to_lab(views))
+    labels, spmap = slic.segment(lab, geom, SlicParams.create(s))
+    labels = np.asarray(labels)
+    ext = np.asarray(superpixel.superpixel_extent(labels, spmap.center, geom))
+    disp0 = np.asarray(
+        cost_volume.initial_depth_estimation(
+            lab, spmap.center, ext, np.asarray(build_disp_levels(s)),
+            *[np.asarray(a) for a in build_view_subsets(s)],
+            s.array_width, s.bl_ratio,
+        )
+    )
+    sched = RefinementSchedule.create(s)
+    subset, counts = build_view_subsets(s)
+    fl = np.asarray(refine.compute_flatness(spmap.color, sched.gamma_eff))
+    ctx = refine.make_context(
+        spmap.center, spmap.color, disp0, labels, ext, fl, subset, s.array_width
+    )
+    kw = dict(
+        gamma=sched.gamma_eff, alpha=sched.alpha_eff, fuse=sched.fuse_eff,
+        bl_ratio=sched.bl_ratio,
+    )
+    state = refine.init_state(
+        ctx, **kw, steps=sched.kernel_steps, step_size=sched.sp_kernel_step
+    )
+    state_np = {
+        "d": np.asarray(state.d, np.float64),
+        "sm": np.asarray(state.sm, np.float64),
+        "cs": np.asarray(state.cs, np.float64),
+        "n": np.asarray(state.n, np.float64),
+    }
+    for it in (0, 4):  # greedy phase and product-rule-only phase
+        got = refine.propagate_iteration(
+            ctx, state, it, **kw,
+            steps=sched.steps_per_iter[it],
+            step_size=sched.step_size_per_iter[it],
+        )
+        want = mirror.propagate(
+            np.asarray(spmap.center), np.asarray(spmap.color),
+            state_np, labels, ext, fl, subset, counts, it,
+            sched.gamma_eff, sched.alpha_eff, sched.fuse_eff, sched.bl_ratio,
+            sched.steps_per_iter[it], sched.step_size_per_iter[it],
+            s.array_width, geom.img_h, geom.img_w,
+        )
+        n = np.asarray(got.d).size
+        for field in ("d", "sm", "cs"):
+            g = np.asarray(getattr(got, field))
+            close = np.isclose(g, want[field], rtol=1e-3, atol=1e-3)
+            assert close.mean() >= 0.99 and (~close).sum() <= max(2, n // 100), (
+                f"it={it} {field}: agreement {close.mean()}, "
+                f"misses {(~close).sum()}/{n}"
+            )

@@ -46,3 +46,34 @@ def test_view_sharded_equals_unsharded(n_view):
 
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_view_pair_layout_sharded_equals_unsharded_packed():
+    """The config-4 memory fix (pair_layout="view", VERDICT r4 item 3):
+    per-ref-view pair slots under the 8-device GSPMD view sharding must
+    reproduce the packed single-device pipeline exactly."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    s = SystemSettings(
+        array_width=4,
+        array_height=2,
+        spixl_size=8,
+        min_disp=2,
+        max_disp=6,
+        inc=1,
+        bl_ratio=1.0,
+        kernel_size=8,
+        kernel_step=2,
+        no_prop=2,
+    )
+    rgb, _ = synthetic.two_plane_scene(
+        24, 32, array_width=4, array_height=2, disp_bg=3.0, disp_fg=5.0,
+        bl_ratio=1.0, seed=11,
+    )
+    packed = MVSPipeline.create(32, 24, s)
+    viewl = MVSPipeline.create(32, 24, s, pair_layout="view")
+
+    want = np.asarray(packed.jitted()(rgb).disp_full)
+    mesh = make_mesh(n_view=8, n_disp=1, devices=jax.devices()[:8])
+    got = np.asarray(run_sharded(viewl, np.asarray(rgb), mesh))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

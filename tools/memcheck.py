@@ -32,6 +32,11 @@ def main() -> None:
             os.environ.get("XLA_FLAGS", "")
             + f" --xla_force_host_platform_device_count={sharded}"
         ).strip()
+    pair_layout = "packed"
+    if "--pair-layout" in args:
+        i = args.index("--pair-layout")
+        pair_layout = args[i + 1]
+        del args[i : i + 2]
     pos = [a for a in args if "=" not in a]
     kv = dict(a.split("=", 1) for a in args if "=" in a)
     h = int(pos[0]) if pos else 1080
@@ -49,7 +54,7 @@ def main() -> None:
     s = SystemSettings()
     if kv:
         s = s.replace(**{k: json.loads(v) for k, v in kv.items()})
-    pipe = MVSPipeline.create(w, h, s)
+    pipe = MVSPipeline.create(w, h, s, pair_layout=pair_layout)
     if sharded:
         from cl_multiview_stereo_tpu.parallel.mesh import make_mesh
         from cl_multiview_stereo_tpu.parallel.sharded_pipeline import (

@@ -1,7 +1,9 @@
 """Time the strip-kernel consistency engine vs the per-move gather engine
 at the reference config, scan-chained (memoization-proof).
 
-Run: python -u tools/probe_cons_strips.py
+Run: python -u tools/probe_cons_strips.py [pallas|xla]
+(the argument picks the strips engine's lane-resolve backend; "xla" is the
+round-5 fallback for the Mosaic grid-count fault)
 """
 
 from __future__ import annotations
@@ -51,6 +53,8 @@ def scan_time(fn, *args, iters=4, label=""):
 
 
 def main():
+    lane_backend = sys.argv[1] if len(sys.argv) > 1 else "pallas"
+    eng_name = "strips" if lane_backend == "pallas" else "strips_xla"
     s = SystemSettings()
     rgb = load_image_array("/root/reference/clMVDE/data.txt", s.view_num)
     h, w = rgb.shape[1:3]
@@ -102,12 +106,14 @@ def main():
     def strips_all(c, ca, st, k):
         d_c, n_c = cands(st, k)
         cs, _ = consistency_moves(
-            c, ca, d_c, n_c, st.d, st.n, pairs=pairs, **kw0
+            c, ca, d_c, n_c, st.d, st.n, pairs=pairs,
+            lane_backend=lane_backend, **kw0
         )
         return jnp.sum(cs, axis=(1, 2, 3))
 
     scan_time(strips_all, ctx, cache, state,
-              label=f"consistency x{m} moves STRIPS engine", iters=4)
+              label=f"consistency x{m} moves STRIPS({lane_backend}) engine",
+              iters=4)
 
     # gather engine (old): chunked vmap
     def gather_all(c, ca, st, k):
@@ -131,7 +137,7 @@ def main():
               label=f"consistency x{m} moves GATHER engine", iters=4)
 
     # whole iteration, both engines
-    for eng in ("strips", "gather"):
+    for eng in (eng_name, "gather"):
         scan_time(
             lambda c, st, k, e=eng: refine._propagate_iteration(
                 c, st._replace(d=st.d + k * 1e-6), 0, pairs=pairs,
