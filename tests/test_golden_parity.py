@@ -1,8 +1,9 @@
 """Golden-output parity vs the reference's shipped result PNGs
 (VERDICT round-1 item 3).
 
-These run the FULL pipeline at 1080p (15-view Bar scene for depth init,
-9-view Beer-Garden for fusion) — minutes on the TPU, tens of minutes on
+These run the FULL pipeline at 1080p (9-view Beer-Garden for both the
+depth-init and fusion anchors — round-5 forensics showed initD_dev0..8
+are a Beer-Garden run) — minutes on the TPU, tens of minutes on
 CPU — so they are slow-marked AND gated behind ``GOLDEN_PARITY=1``.
 Reference miss-rates were measured on the chip and recorded in BASELINE.md
 ("Golden parity" section); the thresholds here sit just under those
@@ -33,16 +34,16 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
 
 def test_depth_init_parity_vs_initD_dev():
-    # measured on the chip (round 3): agree_tol 0.094, mean 74.8 quanta —
-    # the Bar-scene goldens predate the committed config (experiment
-    # variants with unknown knobs, changes notes.txt), so this anchors
-    # drift, not absolute parity
+    # measured on the chip (round 5): agree_tol 0.470, mean 22.5 quanta —
+    # after the scene forensics fix (initD_dev0..8 are a BEER-GARDEN run
+    # at the committed config, not the Bar scene; tools/golden_sweep.py).
+    # Round 3's 0.094 compared against the wrong scene.
     import golden_parity as gp
 
     stats = gp.run_init_parity(per_view=False)["all"]
     print("init parity:", stats)
-    assert stats["agree_tol"] > 0.08, stats
-    assert stats["mean_abs_quanta"] < 80.0, stats
+    assert stats["agree_tol"] > 0.44, stats
+    assert stats["mean_abs_quanta"] < 26.0, stats
 
 
 def test_fusion_parity_vs_fus4():

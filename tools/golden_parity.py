@@ -98,14 +98,24 @@ def load_beer_garden() -> np.ndarray:
 
 
 def run_init_parity(per_view: bool = True) -> dict:
-    """Depth-init parity on the Bar scene vs ``initD_dev*.png``."""
+    """Depth-init parity vs ``initD_dev0..8.png``.
+
+    Round-5 scene forensics (tools/golden_sweep.py): those files are a
+    BEER-GARDEN run at the committed config (9 views, step-1 30..60
+    ladder, bl 1.0359) that overwrote the first 9 outputs of an older
+    15-view Bar run (whose views 9..14 survive with a step-2/3 ladder).
+    Comparing the right scene moved the anchor 9.4% -> 47.0% within one
+    quantum; the residual gap tracks SLIC/WTA drift vs the goldens'
+    unlabeled experiment state.
+    """
     import jax.numpy as jnp
 
+    from cl_multiview_stereo_tpu.config import SystemSettings
     from cl_multiview_stereo_tpu.models.mvs_pipeline import MVSPipeline
 
-    s = bar_settings()
+    s = SystemSettings()
     pipe = MVSPipeline.create(1920, 1080, s)
-    rgb = load_bar_images()
+    rgb = load_beer_garden()
 
     # stages up to depth init only
     import jax

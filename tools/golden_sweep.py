@@ -103,12 +103,17 @@ def main() -> None:
     from cl_multiview_stereo_tpu.ops import cost_volume, slic, superpixel
     from cl_multiview_stereo_tpu.ops.color import rgb_to_lab
 
-    rgb = load_bar_images()
-
     ladder_1 = np.arange(30.0, 60.0 + 0.5, 1.0, dtype=np.float32)
     ladder_23 = np.asarray(
         [30.0 + k * (np.float32(2.0) / 3.0) for k in range(46)], np.float32
     )
+
+    # Scene forensics (round 5): initD_dev0..8 are a BEER-GARDEN run
+    # (9 views, step-1 ladder) OVERWRITING the first 9 files of an older
+    # 15-view BAR run whose views 9..14 survive (step-2/3 ladder) — the
+    # directory is two scenes, not one.
+    from cl_multiview_stereo_tpu.config import SystemSettings
+    from tools.golden_parity import load_beer_garden
 
     results = {}
     if args.stage in ("refine", "all"):
@@ -120,11 +125,35 @@ def main() -> None:
             with open(args.json, "w") as f:
                 json.dump(results, f, indent=2)
         return
-    for conn in (True, False):
-        s = bar_settings().replace(enforce_connectivity=conn)
+
+    def score(lab, labels_np, centers, extent, s, bl, ladder, views, tag,
+              view_subset_np, subset_num_np):
+        disp = np.asarray(
+            cost_volume.initial_depth_estimation(
+                lab, centers, extent, ladder,
+                jnp.asarray(view_subset_np), jnp.asarray(subset_num_np),
+                s.array_width, bl, method="dense",
+                neib_hor=s.neib_hor, neib_ver=s.neib_ver,
+            )
+        )
+        stats, aggs = {}, ([], [])
+        for our_k, gold_k in views:
+            d_px = disp[our_k].reshape(-1)[labels_np[our_k]]
+            ours, _ = quantize(d_px)
+            gold = load_png(
+                f"{REF}/results/1- initialize disparity/initD_dev{gold_k}.png"
+            )
+            aggs[0].append(ours)
+            aggs[1].append(gold)
+            stats[f"view{gold_k}"] = compare(ours, gold)["agree_tol"]
+        allc = compare(np.stack(aggs[0]), np.stack(aggs[1]))
+        results[tag] = {**allc, "per_view": stats}
+        print(f"{tag:52s} agree<=1q {allc['agree_tol']:.3f} "
+              f"mean|q| {allc['mean_abs_quanta']:.1f}", flush=True)
+
+    def seg_run(rgb, s):
         pipe = MVSPipeline.create(1920, 1080, s)
         geom = pipe.geom
-        view_subset_np, subset_num_np = build_view_subsets(s)
 
         @jax.jit
         def seg(rgb):
@@ -134,40 +163,24 @@ def main() -> None:
             return lab, labels, spmap.center, extent
 
         lab, labels, centers, extent = jax.block_until_ready(seg(rgb))
-        labels_np = np.asarray(labels)
+        return lab, np.asarray(labels), centers, extent
 
-        for bl in (s.bl_ratio, 1.0):
-            for lname, ladder, views in (
-                ("step1", ladder_1, range(0, 9)),
-                ("step2/3", ladder_23, range(9, 15)),
-            ):
-                disp = np.asarray(
-                    cost_volume.initial_depth_estimation(
-                        lab, centers, extent, ladder,
-                        jnp.asarray(view_subset_np),
-                        jnp.asarray(subset_num_np),
-                        s.array_width, bl, method="dense",
-                        neib_hor=s.neib_hor, neib_ver=s.neib_ver,
-                    )
-                )
-                stats, aggs = {}, ([], [])
-                for k in views:
-                    d_px = disp[k].reshape(-1)[labels_np[k]]
-                    ours, _ = quantize(d_px)
-                    gold = load_png(
-                        f"{REF}/results/1- initialize disparity/initD_dev{k}.png"
-                    )
-                    aggs[0].append(ours)
-                    aggs[1].append(gold)
-                    stats[f"view{k}"] = compare(ours, gold)["agree_tol"]
-                allc = compare(np.stack(aggs[0]), np.stack(aggs[1]))
-                key = f"conn={conn} bl={bl:.4f} ladder={lname}"
-                results[key] = {**allc, "per_view": stats}
-                print(
-                    f"{key:44s} agree<=1q {allc['agree_tol']:.3f} "
-                    f"mean|q| {allc['mean_abs_quanta']:.1f}",
-                    flush=True,
-                )
+    # --- Beer-Garden vs initD_dev0..8 (the committed config's scene) -----
+    s_bg = SystemSettings()
+    lab, labels_np, centers, extent = seg_run(load_beer_garden(), s_bg)
+    vs_bg = build_view_subsets(s_bg)
+    for bl in (s_bg.bl_ratio, 1.0):
+        score(lab, labels_np, centers, extent, s_bg, bl, ladder_1,
+              [(k, k) for k in range(9)], f"BG step1 bl={bl:.4f}", *vs_bg)
+
+    # --- Bar views 9..14 vs the older run (step-2/3 ladder) --------------
+    s_bar = bar_settings()
+    lab, labels_np, centers, extent = seg_run(load_bar_images(), s_bar)
+    vs_bar = build_view_subsets(s_bar)
+    for bl in (0.625, s_bar.bl_ratio, 1.0):
+        score(lab, labels_np, centers, extent, s_bar, bl, ladder_23,
+              [(k, k) for k in range(9, 15)], f"Bar step2/3 bl={bl:.4f}",
+              *vs_bar)
 
     if args.json:
         with open(args.json, "w") as f:

@@ -42,7 +42,6 @@ def main() -> None:
     import jax.numpy as jnp
 
     from cl_multiview_stereo_tpu.ops.pallas.sweep import pad_images, plane_sweep_pallas
-    from cl_multiview_stereo_tpu.utils.timing import time_fn
 
     v, h, w, d_num = args.views, args.height, args.width, args.d
     ladder = tuple(float(x) for x in range(4, 4 + d_num))
@@ -54,10 +53,34 @@ def main() -> None:
     rng = np.random.default_rng(0)
     lab = jnp.asarray(rng.random((v, h, w, 3), dtype=np.float32) * 100)
 
-    t, (disp, cost) = time_fn(
-        plane_sweep_pallas, lab, ladder, pairs, 1.0, args.tile_h,
-        warmup=1, iters=5,
-    )
+    # Memoization-proof timing (CLAUDE.md): chain K executions inside one
+    # lax.scan with a per-step input perturbation and pull a scalar — the
+    # axon tunnel memoizes identical whole executions content-addressed,
+    # so the earlier repeat-loop form measured dispatch, not compute.
+    import time as _time
+
+    import jax
+
+    k_iters = 3
+
+    @jax.jit
+    def run(seed, lab):
+        def body(carry, k):
+            disp, cost = plane_sweep_pallas(
+                lab + (carry + k) * 1e-7, ladder, pairs, 1.0, args.tile_h
+            )
+            return carry + jnp.mean(disp) + jnp.mean(cost), None
+
+        c, _ = jax.lax.scan(body, seed, jnp.arange(k_iters, dtype=jnp.float32))
+        return c
+
+    float(run(jnp.float32(0.0), lab))  # compile+warm
+    ts = []
+    for s_ in (1.0, 2.0):
+        t0 = _time.perf_counter()
+        float(run(jnp.float32(s_), lab))
+        ts.append(_time.perf_counter() - t0)
+    t = min(ts) / k_iters
 
     # traffic model (mirrors the kernel's DMAs; see pad_images for geometry)
     max_sx = max(abs(int(math.ceil(dd * p[2]))) for dd in ladder for p in pairs)
