@@ -83,7 +83,12 @@ def _upsample_map(field: jax.Array, p: int, q: int, h: int, w: int, s: int):
     ``field[v, row//s + p, col//s + q]`` as a (V, H, W, C) array plus a
     validity mask — built from a static map shift + block repeat, so the
     whole SLIC assignment needs NO gathers (everything fuses to elementwise
-    selects on TPU)."""
+    selects on TPU).
+
+    An isolated-jit probe (round 5) measured a channel-planar variant of
+    this at 9.5 ms/association vs 22 ms — but composed into ``segment``
+    the planar form REGRESSED the stage 300 -> 856 ms (fusion-heuristic
+    sensitivity), so the packed form stays."""
     v, mh, mw = field.shape[:3]
     rolled = jnp.roll(field, shift=(-p, -q), axis=(1, 2))
     colm = jax.lax.broadcasted_iota(jnp.int32, (mh, mw), 1)
@@ -198,46 +203,56 @@ def update_cluster_centers(
     rel_x = gx - col[None] // s  # (V, H, W) in {-1, 0, 1} when in-window
     rel_y = gy - row[None] // s
 
-    data = jnp.concatenate(
-        [
-            lab,
-            col.astype(jnp.float32)[None, ..., None]
-            * jnp.ones((v, 1, 1, 1), jnp.float32),
-            row.astype(jnp.float32)[None, ..., None]
-            * jnp.ones((v, 1, 1, 1), jnp.float32),
-            jnp.ones((v, h, w, 1), jnp.float32),
-        ],
-        axis=-1,
-    )  # (V, H, W, 6): Lab, x, y, count
+    # Channel-PLANAR accumulation: a (V, H, W, 6) operand puts the 6-wide
+    # channel axis on the 128 lanes (21x pad — measured as ~78 ms/call of
+    # the SLIC stage's 520 ms, round-5 probe); six (V, H, W) planes keep
+    # the wide W axis minor and the whole update fuses to selects + block
+    # sums at full lane utilization.
+    colf = jnp.broadcast_to(col.astype(jnp.float32)[None], (v, h, w))
+    rowf = jnp.broadcast_to(row.astype(jnp.float32)[None], (v, h, w))
+    planes = (
+        lab[..., 0], lab[..., 1], lab[..., 2],
+        colf, rowf, jnp.ones((v, h, w), jnp.float32),
+    )  # Lab, x, y, count
 
     hp = mh * s
     wp = mw * s
-    sums = jnp.zeros((v, mh, mw, 6), jnp.float32)
+    colm = jax.lax.broadcasted_iota(jnp.int32, (mh, mw), 1)[None]
+    rowm = jax.lax.broadcasted_iota(jnp.int32, (mh, mw), 0)[None]
+    sums = [jnp.zeros((v, mh, mw), jnp.float32) for _ in range(6)]
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
             sel = ((rel_x == dx) & (rel_y == dy)).astype(jnp.float32)
-            contrib = data * sel[..., None]
-            contrib = jnp.pad(
-                contrib, ((0, 0), (0, hp - h), (0, wp - w), (0, 0))
-            )
-            block = contrib.reshape(v, mh, s, mw, s, 6).sum(axis=(2, 4))
             # members with home cell (cy, cx) belong to cluster
             # (cy + dy, cx + dx): shift the block sums accordingly
-            shifted = jnp.roll(block, shift=(dy, dx), axis=(1, 2))
-            colm = jax.lax.broadcasted_iota(jnp.int32, (mh, mw), 1)[None]
-            rowm = jax.lax.broadcasted_iota(jnp.int32, (mh, mw), 0)[None]
             okm = (
                 (colm - dx >= 0)
                 & (colm - dx < mw)
                 & (rowm - dy >= 0)
                 & (rowm - dy < mh)
             )
-            sums = sums + jnp.where(okm[..., None], shifted, 0.0)
-    n = sums[..., 5]
+            for c, plane in enumerate(planes):
+                contrib = jnp.pad(
+                    plane * sel, ((0, 0), (0, hp - h), (0, wp - w))
+                )
+                # two-stage block sum: a direct (V, mh, s, mw, s) reshape
+                # puts s = 8 on the minor axis, which tiles to (8, 128) —
+                # a 16x padded 1.1 GB temp PER SHIFT (measured as a 35.9 GB
+                # compile-time OOM under scan remat, round-5 probe); row
+                # sums first keep the wide Wp axis minor throughout
+                rows_s = contrib.reshape(v, mh, s, wp).sum(axis=2)
+                block = rows_s.reshape(v, mh, mw, s).sum(axis=3)
+                shifted = jnp.roll(block, shift=(dy, dx), axis=(1, 2))
+                sums[c] = sums[c] + jnp.where(okm, shifted, 0.0)
+    n = sums[5]
     nz = n > 0
     denom = jnp.where(nz, n, 1.0)
-    color = jnp.where(nz[..., None], sums[..., 0:3] / denom[..., None], 0.0)
-    center = jnp.where(nz[..., None], sums[..., 3:5] / denom[..., None], 0.0)
+    color = jnp.where(
+        nz[..., None], jnp.stack(sums[0:3], axis=-1) / denom[..., None], 0.0
+    )
+    center = jnp.where(
+        nz[..., None], jnp.stack(sums[3:5], axis=-1) / denom[..., None], 0.0
+    )
     count = jnp.where(nz, n, 0.0)
     return SuperpixelMap(center=center, color=color, count=count, disp=spmap.disp)
 
