@@ -72,6 +72,10 @@ def main(argv: list[str] | None = None) -> int:
     sfm_p.add_argument("--out", default="results", help="output directory")
     sfm_p.add_argument("--keypoints", type=int, default=512)
     sfm_p.add_argument("--ba-iters", type=int, default=12)
+    sfm_p.add_argument("--pose-graph", action="store_true",
+                       help="run the pose-graph backend first (two-view "
+                            "relative factors + information-weighted solve) "
+                            "and seed the Schur BA from its solution")
     sfm_p.add_argument("--free-rotations", action="store_true",
                        help="optimize rotations too (default: translation-only "
                             "rig gauge matching the reference's camera model)")
@@ -211,6 +215,7 @@ def _run_sfm_cmd(args, s, rgb) -> int:
         rgb, s, k=args.keypoints, ba_iters=args.ba_iters,
         fix_rotations=not args.free_rotations,
         baseline=s.sfm_baseline, intrinsics=_intrinsics_from(s, w, h),
+        use_pose_graph=args.pose_graph,
     )
     dt = time.perf_counter() - t0
     print(f"sfm done in {dt:.2f}s: {res.n_matches} pairwise matches")

@@ -89,6 +89,9 @@ def run_sfm(
     )
     kp = harris_keypoints(gray, k=k)
     pairs = _unique_adjacent_pairs(s)
+    # a pair cannot hold more mutual matches than keypoints per view (and
+    # match_pairs' top_k requires max_matches <= k)
+    max_matches = min(max_matches, k)
     matches = match_pairs(kp, jnp.asarray(pairs), max_matches=max_matches)
 
     # grid-rig prior seed (the reference's implicit camera, made explicit);
