@@ -34,3 +34,39 @@ def test_pipeline_aot_temps_within_budget():
         "proxy budget — a temporary/layout regression of the config-4 class "
         "(see BASELINE.md round-4 memory attribution)"
     )
+
+
+def test_view_pair_layout_shards_refinement_temps():
+    """The config-4 fix itself, guarded: under a sharded view mesh the
+    "view" pair layout must compile to a per-device footprint WELL below
+    the packed layout's (whose per-pair temporaries replicate on every
+    device — the 126 GB wall of BASELINE round 4, closed at 11.0 GB in
+    round 5).  Scaled-down 2x3-view proxy of the same structure."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cl_multiview_stereo_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 6:
+        import pytest
+
+        pytest.skip("needs 6 devices")
+    s = SystemSettings(array_width=3, array_height=2, min_disp=10,
+                       max_disp=41, inc=1)
+    h, w = 160, 192
+    mesh = make_mesh(n_view=6, n_disp=1, devices=jax.devices()[:6])
+    in_s = NamedSharding(mesh, P("view", None, None, None))
+    rgb = jax.ShapeDtypeStruct((s.view_num, h, w, 3), jnp.uint8)
+
+    temps = {}
+    for layout in ("packed", "view"):
+        pipe = MVSPipeline.create(w, h, s, pair_layout=layout)
+
+        def fwd(x, pipe=pipe):
+            return pipe.run(x).disp_full
+
+        compiled = jax.jit(fwd, in_shardings=in_s).lower(rgb).compile()
+        temps[layout] = compiled.memory_analysis().temp_size_in_bytes / 2**20
+
+    # the view layout's per-device refinement structures shard with the
+    # mesh; the packed layout replicates them — require a decisive gap
+    assert temps["view"] < 0.7 * temps["packed"], temps
