@@ -279,39 +279,121 @@ def superpixel_cost_volume_dense(
     gxs = jnp.asarray([gx for gx, _ in deltas], jnp.float32)  # (G,)
     gys = jnp.asarray([gy for _, gy in deltas], jnp.float32)
 
-    def per_d(carry, d):
-        planes = []
-        for g, (gx, gy) in enumerate(deltas):
-            dz = gy * ah + gx
-            # in-bounds trunc(xr - c) == xr - ceil(c) for ALL c (the result
-            # is >= 0, so trunc == floor == xr - ceil(c))
-            sx = jnp.ceil(d * gx).astype(jnp.int32)
-            sy = jnp.ceil(bl_ratio * d * gy).astype(jnp.int32)
-            # out[z, y, x] = view[z + dz][y - sy, x - sx]: slice first (all
-            # views), then roll the view axis — both transient per (d, g)
-            shifted = jax.lax.dynamic_slice(
-                padded_all,
-                (0, max_sy - sy, max_sx - sx, 0),
-                (v, h, w, 3),
-            )
-            shifted = jnp.roll(shifted, -dz, axis=0)  # row z holds view z+dz
-            planes.append(jnp.sum(jnp.abs(lab - shifted), axis=-1))
-        table = jnp.stack(planes, axis=-1).reshape(-1, len(deltas))
-        g25 = table[flat_ref].reshape(v, mh, mw, 25, len(deltas))
-        # exact projected-coordinate validity: (int)(x - c) lands in
-        # [0, size) iff  -1 < x - c < size  (clcode.cl:1039)
-        cx_ = d * gxs  # (G,)
-        cy_ = bl_ratio * d * gys
-        px = xrf[..., None] - cx_
-        py = yrf[..., None] - cy_
-        proj_ok = (px > -1.0) & (px < w) & (py > -1.0) & (py < h)
-        ok = ref_ok[..., None] & proj_ok  # (V, Mh, Mw, 25, G)
-        acc = jnp.sum(jnp.where(ok, g25, _OOB_PENALTY), axis=3)
-        best = jnp.min(jnp.where(valid_j[:, None, None, :], acc, _BIG), axis=-1)
-        return carry, best
+    # ---- wide-row restructure (round 5) ----------------------------------
+    # The original form gathered the per-delta SAD table once PER HYPOTHESIS
+    # (31 x 7.3 M rows of 8 f32 — 226 M narrow rows/scene at the issue-bound
+    # gather rate).  A (V*H*W, G*Dc) gd-minor table instead serves ALL
+    # hypotheses of a D-chunk with ONE ~kB row per (cell, sample) — the
+    # measured wide-row band (BASELINE round-4 ladder) — so the gather count
+    # drops 31x.  D is chunked so only one table (~3.6 GB at the reference
+    # scale) plus its scan stack is live at a time.
+    d_all = disp_levels.astype(jnp.float32)
+    d_num = d_all.shape[0]
+    n_g = len(deltas)
+    d_chunk = max(1, -(-d_num // max(1, -(-(n_g * d_num) // 128))))
+    pad_d = (-d_num) % d_chunk
+    if pad_d:
+        d_all = jnp.concatenate([d_all, d_all[-1:].repeat(pad_d)], axis=0)
+    n_chunks = (d_num + pad_d) // d_chunk
 
-    _, vols = jax.lax.scan(per_d, 0, disp_levels.astype(jnp.float32))
-    return jnp.moveaxis(vols, 0, 1)  # (V, D, Mh, Mw)
+    # per-sample leading layouts for the accumulation scan
+    mv = lambda a: jnp.moveaxis(a, -1, 0)  # (25, V, Mh, Mw)
+    flat25_v = mv(
+        jnp.clip(yr, 0, h - 1) * w + jnp.clip(xr, 0, w - 1)
+    )  # per-VIEW pixel offset (the view base is added per view chunk)
+
+    # The SAD table is indexed by the REFERENCE pixel only (a sample of
+    # view z reads rows of view z), so the view axis chunks exactly —
+    # bounding the (stack + table) peak to a few views' worth (the 2-view-
+    # chunk form compiled to 18.4 GB at the reference scale, over HBM).
+    v_chunk = max(1, min(v, -(-3 * 2073600 // (h * w))))
+    n_vc = -(-v // v_chunk)
+
+    def build_step_views(v0, n_views):
+        def build_step(_, d):
+            planes = []
+            for g, (gx, gy) in enumerate(deltas):
+                dz = gy * ah + gx
+                # in-bounds trunc(xr - c) == xr - ceil(c) for ALL c (the
+                # result is >= 0, so trunc == floor == xr - ceil(c))
+                sx = jnp.ceil(d * gx).astype(jnp.int32)
+                sy = jnp.ceil(bl_ratio * d * gy).astype(jnp.int32)
+                # out[z, y, x] = view[z + dz][y - sy, x - sx]: slice first
+                # (all views), then roll the view axis
+                shifted = jax.lax.dynamic_slice(
+                    padded_all,
+                    (0, max_sy - sy, max_sx - sx, 0),
+                    (v, h, w, 3),
+                )
+                shifted = jnp.roll(shifted, -dz, axis=0)
+                sad = jnp.sum(
+                    jnp.abs(
+                        lab[v0 : v0 + n_views] - shifted[v0 : v0 + n_views]
+                    ),
+                    axis=-1,
+                )
+                planes.append(sad)
+            return 0, jnp.stack(planes, axis=-1).reshape(-1, n_g)
+
+        return build_step
+
+    vols = []
+    for c in range(n_chunks):
+        dl_c = jax.lax.dynamic_slice_in_dim(d_all, c * d_chunk, d_chunk)
+        # projection shifts for every (d, g) of this chunk, gd-minor to
+        # match the table's row layout [d0g0, d0g1, ..., d1g0, ...]
+        cx_gd = (dl_c[:, None] * gxs[None, :]).reshape(-1)  # (Dc*G,)
+        cy_gd = (bl_ratio * dl_c[:, None] * gys[None, :]).reshape(-1)
+
+        bests = []
+        for vc in range(n_vc):
+            v0 = vc * v_chunk
+            n_views = min(v_chunk, v - v0)
+            _, slabs = jax.lax.scan(
+                build_step_views(v0, n_views), 0, dl_c
+            )  # (Dc, Vc*H*W, G)
+            table = jnp.moveaxis(slabs, 0, 1).reshape(-1, d_chunk * n_g)
+            table = jax.lax.optimization_barrier(table)
+
+            vbase = (
+                jnp.arange(n_views, dtype=jnp.int32) * (h * w)
+            )[:, None, None]  # chunk-local view row base
+            xs_vc = (
+                (flat25_v[:, v0 : v0 + n_views] + vbase[None]).reshape(25, -1),
+                mv(xrf)[:, v0 : v0 + n_views],
+                mv(yrf)[:, v0 : v0 + n_views],
+                mv(ref_ok)[:, v0 : v0 + n_views],
+            )
+
+            def per_sample(acc, xs):
+                flat_s, xrf_s, yrf_s, ok_s = xs
+                rows = table[flat_s].reshape(
+                    n_views, mh, mw, d_chunk * n_g
+                )
+                # exact projected-coordinate validity: (int)(x - c) lands
+                # in [0, size) iff  -1 < x - c < size  (clcode.cl:1039)
+                px = xrf_s[..., None] - cx_gd
+                py = yrf_s[..., None] - cy_gd
+                ok = (
+                    ok_s[..., None]
+                    & (px > -1.0) & (px < w) & (py > -1.0) & (py < h)
+                )
+                return acc + jnp.where(ok, rows, _OOB_PENALTY), None
+
+            acc0 = jnp.zeros((n_views, mh, mw, d_chunk * n_g), jnp.float32)
+            acc, _ = jax.lax.scan(per_sample, acc0, xs_vc)
+            acc = acc.reshape(n_views, mh, mw, d_chunk, n_g)
+            best = jnp.min(
+                jnp.where(
+                    valid_j[v0 : v0 + n_views, None, None, None, :],
+                    acc, _BIG,
+                ),
+                axis=-1,
+            )  # (Vc, Mh, Mw, Dc)
+            bests.append(jax.lax.optimization_barrier(best))
+        vols.append(jnp.moveaxis(jnp.concatenate(bests, axis=0), -1, 1))
+    vol = jnp.concatenate(vols, axis=1)[:, :d_num]  # (V, D, Mh, Mw)
+    return vol
 
 
 def _shift_lists(disp_levels, gx: int, gy: int, bl_ratio: float):
