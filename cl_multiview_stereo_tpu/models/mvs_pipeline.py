@@ -123,6 +123,10 @@ class MVSPipeline:
                 method=self.depth_method,
                 neib_hor=s.neib_hor,
                 neib_ver=s.neib_ver,
+                # the wide-row dense tables REPLICATE under GSPMD view
+                # sharding (1.8 TB/device at config-4) — the sharded
+                # memory-constrained mode keeps the per-hypothesis form
+                dense_wide_rows=(self.pair_layout != "view"),
             )
         flatness = refine.compute_flatness(spmap.color, sched.gamma_eff)
         # SLIC label-locality bound for the gather-free per-pixel lookups:

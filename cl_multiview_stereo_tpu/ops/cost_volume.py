@@ -185,7 +185,7 @@ def _trunc_int(x: float) -> int:
     return int(math.trunc(x))
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
+@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10))
 def superpixel_cost_volume_dense(
     lab: jax.Array,  # (V, H, W, 3)
     centers: jax.Array,  # (V, Mh, Mw, 2)
@@ -197,6 +197,12 @@ def superpixel_cost_volume_dense(
     neib_ver: int = 1,
     max_abs_disp: float = 256.0,
     deltas_subset: tuple | None = None,  # restrict to these (gx, gy) deltas
+    wide_rows: bool = True,
+    # wide_rows=True (single-chip default): gd-minor SAD tables + one wide
+    # row gather per (cell, sample) — 4.0x the per-d form at bench scale
+    # (716 vs 2852 ms) but its python-chunked table builds REPLICATE under
+    # GSPMD view sharding (1.8 TB/device at config-4).  wide_rows=False is
+    # the per-hypothesis narrow-gather form the sharded pipeline uses.
 ) -> jax.Array:
     """TPU-fast formulation of the same cost volume: for each camera-grid
     delta g and hypothesis d, the projected image is an integer shift of the
@@ -278,6 +284,41 @@ def superpixel_cost_volume_dense(
     yrf = yr.astype(jnp.float32)
     gxs = jnp.asarray([gx for gx, _ in deltas], jnp.float32)  # (G,)
     gys = jnp.asarray([gy for _, gy in deltas], jnp.float32)
+
+    if not wide_rows:
+        def per_d(carry, d):
+            planes = []
+            for g, (gx, gy) in enumerate(deltas):
+                dz = gy * ah + gx
+                # in-bounds trunc(xr - c) == xr - ceil(c) for ALL c (the result
+                # is >= 0, so trunc == floor == xr - ceil(c))
+                sx = jnp.ceil(d * gx).astype(jnp.int32)
+                sy = jnp.ceil(bl_ratio * d * gy).astype(jnp.int32)
+                # out[z, y, x] = view[z + dz][y - sy, x - sx]: slice first (all
+                # views), then roll the view axis — both transient per (d, g)
+                shifted = jax.lax.dynamic_slice(
+                    padded_all,
+                    (0, max_sy - sy, max_sx - sx, 0),
+                    (v, h, w, 3),
+                )
+                shifted = jnp.roll(shifted, -dz, axis=0)  # row z holds view z+dz
+                planes.append(jnp.sum(jnp.abs(lab - shifted), axis=-1))
+            table = jnp.stack(planes, axis=-1).reshape(-1, len(deltas))
+            g25 = table[flat_ref].reshape(v, mh, mw, 25, len(deltas))
+            # exact projected-coordinate validity: (int)(x - c) lands in
+            # [0, size) iff  -1 < x - c < size  (clcode.cl:1039)
+            cx_ = d * gxs  # (G,)
+            cy_ = bl_ratio * d * gys
+            px = xrf[..., None] - cx_
+            py = yrf[..., None] - cy_
+            proj_ok = (px > -1.0) & (px < w) & (py > -1.0) & (py < h)
+            ok = ref_ok[..., None] & proj_ok  # (V, Mh, Mw, 25, G)
+            acc = jnp.sum(jnp.where(ok, g25, _OOB_PENALTY), axis=3)
+            best = jnp.min(jnp.where(valid_j[:, None, None, :], acc, _BIG), axis=-1)
+            return carry, best
+
+        _, vols = jax.lax.scan(per_d, 0, disp_levels.astype(jnp.float32))
+        return jnp.moveaxis(vols, 0, 1)  # (V, D, Mh, Mw)  # (V, D, Mh, Mw)
 
     # ---- wide-row restructure (round 5) ----------------------------------
     # The original form gathered the per-delta SAD table once PER HYPOTHESIS
@@ -869,6 +910,7 @@ def initial_depth_estimation(
     method: str = "gather",
     neib_hor: int = 1,
     neib_ver: int = 1,
+    dense_wide_rows: bool = True,
 ) -> jax.Array:
     """Full depth init: extent -> adaptive step -> cost volume -> WTA.
 
@@ -897,6 +939,7 @@ def initial_depth_estimation(
         vol = superpixel_cost_volume_dense(
             lab, centers, step, jnp.asarray(disp_levels, jnp.float32),
             array_width, bl_ratio, neib_hor, neib_ver, max_abs,
+            None, dense_wide_rows,
         )
     else:
         vol = superpixel_cost_volume(

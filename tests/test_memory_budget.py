@@ -7,8 +7,10 @@ layout/temporary regression of the round-1 class (an innocent-looking
 change ballooning HLO temps by an order of magnitude) fails fast in CI
 instead of surfacing as an HBM OOM on the chip.
 
-Measured baseline for this exact shape: 24.6 MB of temps (CPU AOT,
-round 4).  The bound leaves ~3x headroom for benign compiler drift.
+Measured baselines for this exact shape: 24.6 MB (round 4, per-hypothesis
+dense) -> 283 MB (round 5, wide-row dense tables — a deliberate
+memory-for-speed trade: 4.0x faster depth init, whole-pipeline AOT
+7.57 GB at bench scale).  The bound leaves ~2x headroom for drift.
 """
 
 import jax
@@ -17,7 +19,7 @@ import jax.numpy as jnp
 from cl_multiview_stereo_tpu.config import SystemSettings
 from cl_multiview_stereo_tpu.models.mvs_pipeline import MVSPipeline
 
-_TEMP_BUDGET_MB = 80.0
+_TEMP_BUDGET_MB = 600.0
 
 
 def test_pipeline_aot_temps_within_budget():
